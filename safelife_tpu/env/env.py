@@ -1,0 +1,258 @@
+"""The batched, fully on-device SafeLife environment.
+
+One jitted :meth:`BatchedSafeLifeEnv.step` advances B environments in
+lockstep: agent actions, two CA advances (board + goals), reward, exit
+gating/recoloring, episode bookkeeping, auto-reset from a device-resident
+level bank, and observation extraction — with no host round-trips.
+
+Reference semantics being fused here (file:line into /root/reference):
+  * env step order:      safelife/safelife_env.py:157-186
+  * reset:               safelife/safelife_env.py:188-198
+  * exit gating/recolor: safelife/safelife_game.py:522-537
+  * auto-reset:          env_wrappers.py:289-303 (ContinuingEnv, native here)
+  * counters:            safelife_env.py:81-85,171-175
+"""
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .. import cells as C
+from ..ops import agent as agent_ops
+from ..ops import life, obs as obs_ops, scoring
+from .state import EnvState, LevelBank, find_exits
+
+ACTION_NAMES = (
+    "NULL",
+    "MOVE UP", "MOVE RIGHT", "MOVE DOWN", "MOVE LEFT",
+    "TOGGLE UP", "TOGGLE RIGHT", "TOGGLE DOWN", "TOGGLE LEFT",
+)
+NUM_ACTIONS = len(ACTION_NAMES)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Static environment configuration (hashable; closed over by jit)."""
+    view_shape: Tuple[int, int] = (15, 15)
+    output_channels: Optional[Tuple[int, ...]] = tuple(range(15))
+    remove_white_goals: bool = True
+    time_limit: int = 1000
+    auto_reset: bool = True
+    sequential_levels: bool = False  # round-robin bank order (benchmarking)
+    points_on_level_exit: float = 1.0
+    max_exits: int = 4
+    can_toggle_powers: bool = False
+    can_toggle_colors: bool = False
+    compute_obs: bool = True
+
+
+class TimeStep(struct.PyTreeNode):
+    obs: Any        # (B, vh, vw, C) uint8 (or None if compute_obs=False)
+    reward: Any     # (B,) float32
+    done: Any       # (B,) bool
+    times_up: Any   # (B,) bool
+    # Pre-reset episode stats (valid where done):
+    episode_length: Any   # (B,) int32
+    episode_reward: Any   # (B,) float32
+    perf_completed: Any   # (B,) int32
+    perf_possible: Any    # (B,) int32
+    level_idx: Any        # (B,) int32
+
+
+class BatchedSafeLifeEnv:
+    """Functional batched environment; all methods are jit-compatible."""
+
+    def __init__(self, config: EnvConfig = EnvConfig()):
+        self.config = config
+
+    # Hash/eq by config so jit caches compile across env instances.
+    def __hash__(self):
+        return hash(self.config)
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and other.config == self.config)
+
+    # -- resets ----------------------------------------------------------
+
+    def _next_level_idx(self, num_levels, batch, reset_count, key):
+        if self.config.sequential_levels:
+            # env b plays levels b, b+B, b+2B, ... — the reference's
+            # round-robin eval order (benchmarking.py:80-106).
+            rank = jnp.arange(batch, dtype=jnp.int32)
+            return (rank + reset_count * batch) % num_levels
+        return jax.random.randint(key, (batch,), 0, num_levels)
+
+    def _fresh_state_fields(self, bank: LevelBank, idx):
+        """Per-board fields of a freshly-reset state (no counters)."""
+        lv = bank.take(idx)
+        init_board = lv.board
+        init_goals = lv.goals
+        baseline = scoring.performance_score(init_board, init_goals)
+        # update_exit_colors at reset: exits closed unless immediately open.
+        comp, poss = scoring.performance_ratio(init_board, init_goals, baseline)
+        ce = scoring.can_exit(comp, poss, lv.min_performance)
+        er, ec, ev = find_exits(init_board, self.config.max_exits)
+        board = _recolor_exits(init_board, init_board, ce)
+        points = scoring.current_points(board, init_goals)
+        batch = idx.shape[0]
+        return dict(
+            board=board, goals=init_goals,
+            agent_row=lv.agent_row.astype(jnp.int32),
+            agent_col=lv.agent_col.astype(jnp.int32),
+            orientation=lv.orientation.astype(jnp.int32),
+            game_over=jnp.zeros(batch, bool),
+            init_board=init_board, init_goals=init_goals,
+            spawn_prob=lv.spawn_prob.astype(jnp.float32),
+            min_performance=lv.min_performance.astype(jnp.float32),
+            baseline_score=baseline,
+            exit_row=er, exit_col=ec, exit_valid=ev,
+            level_idx=idx.astype(jnp.int32),
+            points_last=points,
+            episode_length=jnp.zeros(batch, jnp.int32),
+            episode_reward=jnp.zeros(batch, jnp.float32),
+            episode_done=jnp.zeros(batch, bool),
+        )
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def reset_all(self, bank: LevelBank, batch_size: int, key) -> EnvState:
+        idx = self._next_level_idx(
+            bank.num_levels, batch_size, jnp.zeros(batch_size, jnp.int32), key)
+        fields = self._fresh_state_fields(bank, idx)
+        return EnvState(
+            reset_count=jnp.ones(batch_size, jnp.int32),
+            episodes_started=jnp.int32(batch_size),
+            episodes_completed=jnp.int32(0),
+            num_steps=jnp.int32(0),
+            **fields)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def reset_to_levels(self, bank: LevelBank, idx) -> EnvState:
+        """Deterministic reset: env b plays bank level ``idx[b]``."""
+        idx = jnp.asarray(idx, jnp.int32)
+        batch = idx.shape[0]
+        fields = self._fresh_state_fields(bank, idx)
+        return EnvState(
+            reset_count=jnp.ones(batch, jnp.int32),
+            episodes_started=jnp.int32(batch),
+            episodes_completed=jnp.int32(0),
+            num_steps=jnp.int32(0),
+            **fields)
+
+    # -- observations ----------------------------------------------------
+
+    def observe(self, state: EnvState):
+        return obs_ops.observe(
+            state.board, state.goals, state.agent_row, state.agent_col,
+            state.exit_row, state.exit_col, state.exit_valid,
+            self.config.view_shape, self.config.output_channels,
+            self.config.remove_white_goals)
+
+    # -- step ------------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self",))
+    def step(self, state: EnvState, bank: LevelBank, action, key,
+             spawn_board=None, spawn_goals=None):
+        """Advance all B environments one step.
+
+        ``spawn_board`` / ``spawn_goals`` override the on-device spawn
+        randomness with precomputed boolean fields (bit-exact parity path).
+        """
+        cfg = self.config
+        prev_done = state.episode_done
+        prev_over = state.game_over
+
+        # Exit gate as of action time.
+        comp0, poss0 = scoring.performance_ratio(
+            state.board, state.goals, state.baseline_score)
+        ce0 = scoring.can_exit(comp0, poss0, state.min_performance)
+
+        act = agent_ops.execute_action(
+            state.board, state.agent_row, state.agent_col,
+            state.orientation, action, ce0, prev_over,
+            cfg.points_on_level_exit,
+            cfg.can_toggle_powers, cfg.can_toggle_colors)
+        game_over = prev_over | act.exited
+
+        k_board, k_goals, k_reset = jax.random.split(key, 3)
+        if spawn_board is None:
+            u = jax.random.uniform(k_board, state.board.shape, jnp.float32)
+            spawn_board = u < state.spawn_prob[None, None, :]
+        if spawn_goals is None:
+            u = jax.random.uniform(k_goals, state.goals.shape, jnp.float32)
+            spawn_goals = u < state.spawn_prob[None, None, :]
+        board = life.advance_board(act.board, spawn_board)
+        goals = life.advance_board(state.goals, spawn_goals)
+
+        points = scoring.current_points(board, goals)
+        reward = act.reward + (points - state.points_last).astype(jnp.float32)
+
+        # Exit recoloring with the post-advance performance.
+        comp1, poss1 = scoring.performance_ratio(
+            board, goals, state.baseline_score)
+        ce1 = scoring.can_exit(comp1, poss1, state.min_performance)
+        board = _recolor_exits(board, state.init_board, ce1)
+
+        episode_length = state.episode_length + 1
+        episode_reward = state.episode_reward + reward
+        times_up = episode_length > cfg.time_limit
+        done = times_up | game_over
+
+        counted = ~prev_done
+        mid = state.replace(
+            board=board, goals=goals,
+            agent_row=act.agent_row, agent_col=act.agent_col,
+            orientation=act.orientation, game_over=game_over,
+            points_last=points, episode_length=episode_length,
+            episode_reward=episode_reward, episode_done=done,
+            episodes_completed=state.episodes_completed
+            + (done & counted).sum().astype(jnp.int32),
+            num_steps=state.num_steps + counted.sum().astype(jnp.int32),
+        )
+
+        new_state = mid
+        if cfg.auto_reset:
+            idx = self._next_level_idx(
+                bank.num_levels, state.batch_size, state.reset_count, k_reset)
+            fresh = self._fresh_state_fields(bank, idx)
+            new_state = _select_reset(mid, fresh, done)
+            new_state = new_state.replace(
+                reset_count=mid.reset_count + done.astype(jnp.int32),
+                episodes_started=mid.episodes_started
+                + done.sum().astype(jnp.int32),
+            )
+
+        ts = TimeStep(
+            obs=self.observe(new_state) if cfg.compute_obs else None,
+            reward=reward, done=done, times_up=times_up,
+            episode_length=mid.episode_length,
+            episode_reward=mid.episode_reward,
+            perf_completed=comp1, perf_possible=poss1,
+            level_idx=mid.level_idx,
+        )
+        return new_state, ts
+
+
+def _recolor_exits(board, init_board, open_):
+    """Set exit cells to LEVEL_EXIT (+red when open).  Exit locations are
+    taken from the initial board — exits are frozen and indestructible, so
+    they never move during play (safelife_game.py:528-537)."""
+    exit_mask = (init_board & C.EXIT) != 0
+    cell = jnp.where(open_, jnp.uint16(C.LEVEL_EXIT | C.COLOR_R),
+                     jnp.uint16(C.LEVEL_EXIT))
+    return jnp.where(exit_mask, cell[None, None, :], board)
+
+
+def _select_reset(mid: EnvState, fresh: dict, done):
+    """Per-board select between mid-step state and freshly-reset fields."""
+    updates = {}
+    for name, new in fresh.items():
+        old = getattr(mid, name)
+        # All per-board leaves carry B on the trailing axis.
+        shape = [1] * (old.ndim - 1) + [done.shape[0]]
+        updates[name] = jnp.where(done.reshape(shape), new, old)
+    return mid.replace(**updates)

@@ -1,0 +1,107 @@
+"""Environment state containers — batched struct-of-arrays pytrees.
+
+The reference keeps one Python ``SafeLifeGame`` object per board
+(``safelife_game.py:123-664``); on TPU the whole fleet of environments is a
+single pytree of batched arrays so every step is one fused jitted program.
+Boards are laid out ``(H, W, B)`` (batch trailing — see ops/life.py).
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .. import cells as C
+
+
+class LevelBank(struct.PyTreeNode):
+    """A fixed set of levels resident on device, stacked batch-trailing.
+
+    Built from npz archives / procgen by :mod:`safelife_tpu.levels.loader`.
+    All levels in one bank share a board shape (torus dynamics depend on
+    the shape, so mixed sizes cannot be batched together).
+    """
+    board: Any        # (H, W, N) uint16
+    goals: Any        # (H, W, N) uint16
+    agent_row: Any    # (N,) int32
+    agent_col: Any    # (N,) int32
+    orientation: Any  # (N,) int32
+    spawn_prob: Any   # (N,) float32
+    min_performance: Any  # (N,) float32
+
+    @property
+    def num_levels(self):
+        return self.board.shape[-1]
+
+    @property
+    def board_shape(self):
+        return self.board.shape[:2]
+
+    def take(self, idx):
+        """Gather a batch of levels by index -> leaves with trailing B."""
+        return LevelBank(
+            board=jnp.take(self.board, idx, axis=-1),
+            goals=jnp.take(self.goals, idx, axis=-1),
+            agent_row=jnp.take(self.agent_row, idx),
+            agent_col=jnp.take(self.agent_col, idx),
+            orientation=jnp.take(self.orientation, idx),
+            spawn_prob=jnp.take(self.spawn_prob, idx),
+            min_performance=jnp.take(self.min_performance, idx),
+        )
+
+
+class EnvState(struct.PyTreeNode):
+    """Full state of B lockstep SafeLife environments."""
+    # Live game state
+    board: Any        # (H, W, B) uint16
+    goals: Any        # (H, W, B) uint16
+    agent_row: Any    # (B,) int32
+    agent_col: Any    # (B,) int32
+    orientation: Any  # (B,) int32
+    game_over: Any    # (B,) bool  (agent exited / aborted)
+    # Per-level constants (change only on reset)
+    init_board: Any   # (H, W, B) uint16 — revert/scoring/side-effect baseline
+    init_goals: Any   # (H, W, B) uint16
+    spawn_prob: Any   # (B,) float32
+    min_performance: Any  # (B,) float32
+    baseline_score: Any   # (B,) int32 — perf score of the initial state
+    exit_row: Any     # (K, B) int32 — exit locations (row-major order)
+    exit_col: Any     # (K, B) int32
+    exit_valid: Any   # (K, B) bool
+    level_idx: Any    # (B,) int32 — bank index being played
+    # Episode bookkeeping
+    points_last: Any      # (B,) int32 — cached current_points for the delta
+    episode_length: Any   # (B,) int32
+    episode_reward: Any   # (B,) float32
+    episode_done: Any     # (B,) bool — done flag of the previous step
+    reset_count: Any      # (B,) int32 — resets so far (level sequencing)
+    # Global counters (reference: SafeLifeEnv.global_counter)
+    episodes_started: Any    # () int32
+    episodes_completed: Any  # () int32
+    num_steps: Any           # () int32
+
+    @property
+    def batch_size(self):
+        return self.board.shape[-1]
+
+    @property
+    def board_shape(self):
+        return self.board.shape[:2]
+
+
+def find_exits(board, max_exits):
+    """Locate up to ``max_exits`` exit cells per board, in row-major order.
+
+    board: (H, W, B) uint16 -> (K, B) rows, cols, valid.
+    """
+    h, w, b = board.shape
+    flat = ((board & C.EXIT) != 0).reshape(h * w, b)
+    idx = jnp.arange(h * w, dtype=jnp.int32)[:, None]
+    # Score so that top_k returns the *first* exits in row-major order.
+    score = jnp.where(flat, h * w - idx, 0)
+    vals, pos = jax.lax.top_k(score.T, max_exits)  # (B, K), descending score
+    valid = (vals > 0).T
+    pos = pos.T.astype(jnp.int32)
+    return pos // w, pos % w, valid

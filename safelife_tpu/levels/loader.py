@@ -1,0 +1,160 @@
+"""Level loading: npz archives / single levels -> device-resident banks.
+
+Capability parity with ``safelife/file_finder.py`` (find_files/_load_files/
+safelife_loader), redesigned for lockstep batching: instead of yielding one
+``SafeLifeGame`` object at a time, levels are stacked into a
+:class:`~safelife_tpu.env.state.LevelBank` that lives on device, and resets
+index into it with no host round-trip.
+
+Supported file formats (wire-compatible with the reference):
+  * combined archives: ``{"levels": structured_array}`` with fields
+    ``spawn_prob, orientation, agent_loc, board, class, min_performance,
+    goals, name`` (benchmarks/v1.0/*.npz),
+  * single-level npz files with those fields as separate arrays,
+  * procgen YAML parameter files (dispatched to safelife_tpu.procgen).
+
+Search order for bare names: cwd, ``$SAFELIFE_LEVELS``, the packaged data
+dir, the reference level tree (read-only) when present.
+"""
+
+import glob
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..env.state import LevelBank
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+PACKAGED_LEVELS = os.path.join(_HERE, "data")
+REFERENCE_LEVELS = "/root/reference/safelife/levels"
+
+FILE_TYPES = ("npz", "yaml", "json")
+
+
+def level_directories():
+    dirs = []
+    env_dir = os.environ.get("SAFELIFE_LEVELS")
+    if env_dir:
+        dirs.append(env_dir)
+    dirs.append(PACKAGED_LEVELS)
+    if os.path.isdir(REFERENCE_LEVELS):
+        dirs.append(REFERENCE_LEVELS)
+    return dirs
+
+
+def find_files(*paths, file_types=FILE_TYPES):
+    """Resolve level paths: direct, globbed, extensionless, or directories,
+    searching the cwd first and the level directories as fallback."""
+    for path in paths:
+        found = _find_one(os.path.expanduser(path), file_types)
+        if not found:
+            for base in level_directories():
+                found = _find_one(os.path.join(base, path), file_types)
+                if found:
+                    break
+        if not found:
+            raise FileNotFoundError(f"No level files found for '{path}'")
+        yield from found
+
+
+def _find_one(path, file_types):
+    def ok(p):
+        return os.path.isfile(p) and p.rsplit(".", 1)[-1] in file_types
+
+    hits = sorted(filter(ok, glob.glob(path, recursive=True)))
+    if hits:
+        return hits
+    for ext in file_types:
+        hits = sorted(filter(ok, glob.glob(path + "." + ext, recursive=True)))
+        if hits:
+            return hits
+    if os.path.isdir(path):
+        hits = sorted(
+            p for p in glob.glob(os.path.join(path, "*")) if ok(p))
+        return hits
+    return []
+
+
+def _level_from_record(rec, name):
+    """Normalize one level record to a plain dict of numpy arrays."""
+    board = np.ascontiguousarray(rec["board"], np.uint16)
+    goals = np.ascontiguousarray(rec["goals"], np.uint16)
+    agent_loc = np.asarray(rec["agent_loc"])  # (x, y) order in the wire format
+    return dict(
+        board=board,
+        goals=goals,
+        agent_col=np.int32(agent_loc[0]),
+        agent_row=np.int32(agent_loc[1]),
+        orientation=np.int32(rec["orientation"]) if "orientation" in _fields(rec) else np.int32(1),
+        spawn_prob=np.float32(rec["spawn_prob"]) if "spawn_prob" in _fields(rec) else np.float32(0.3),
+        min_performance=np.float32(rec["min_performance"]) if "min_performance" in _fields(rec) else np.float32(-1.0),
+        name=str(name),
+    )
+
+
+def _fields(rec):
+    if hasattr(rec, "dtype") and rec.dtype.fields:
+        return rec.dtype.fields
+    return rec.keys() if hasattr(rec, "keys") else ()
+
+
+def load_levels(*paths):
+    """Load all matching files into a list of level dicts (host numpy)."""
+    levels = []
+    for fname in find_files(*paths):
+        if fname.endswith((".yaml", ".json")):
+            raise ValueError(
+                f"'{fname}' holds procgen parameters; use "
+                "safelife_tpu.procgen.gen_levels / level_stream for these.")
+        with np.load(fname) as data:
+            if "levels" in data:
+                for rec in data["levels"]:
+                    name = os.path.join(
+                        os.path.basename(fname)[:-4], str(rec["name"]))
+                    levels.append(_level_from_record(rec, name))
+            else:
+                rec = {k: data[k] for k in data.files}
+                levels.append(_level_from_record(
+                    rec, os.path.basename(fname)[:-4]))
+    return levels
+
+
+def build_bank(levels):
+    """Stack uniform-shape level dicts into a device LevelBank."""
+    if not levels:
+        raise ValueError("No levels to build a bank from.")
+    shapes = {lv["board"].shape for lv in levels}
+    if len(shapes) > 1:
+        raise ValueError(
+            f"Levels of mixed board shapes {shapes} cannot share a bank "
+            "(torus dynamics depend on the shape). Group them with "
+            "group_by_shape() first.")
+    stack = lambda key: jnp.asarray(
+        np.stack([lv[key] for lv in levels], axis=-1))
+    return LevelBank(
+        board=stack("board"),
+        goals=stack("goals"),
+        agent_row=stack("agent_row"),
+        agent_col=stack("agent_col"),
+        orientation=stack("orientation"),
+        spawn_prob=stack("spawn_prob"),
+        min_performance=stack("min_performance"),
+    )
+
+
+def group_by_shape(levels):
+    """Split a mixed list of levels into shape -> list of levels."""
+    groups = {}
+    for lv in levels:
+        groups.setdefault(lv["board"].shape, []).append(lv)
+    return groups
+
+
+def load_bank(*paths):
+    """One-call convenience: find, load and stack levels into a bank."""
+    return build_bank(load_levels(*paths))
+
+
+def level_names(*paths):
+    return [lv["name"] for lv in load_levels(*paths)]

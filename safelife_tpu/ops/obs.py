@@ -1,0 +1,92 @@
+"""Agent-centered observations for batched boards.
+
+Reference semantics: ``SafeLifeEnv.get_obs`` (``safelife_env.py:125-155``)
+and ``recenter_view`` (``helper_utils.py:41-74``):
+
+* goal *colors* are merged into bits 12-14 of the board word (white goals
+  optionally removed),
+* the view is a torus crop centered on the agent (views larger than the
+  board tile it),
+* off-view exits are projected onto the view perimeter so their direction
+  stays observable,
+* the word is unpacked into binary channels (bits 0-14 by default).
+
+TPU-first: per-board re-centering is a *barrel roll* — log2(H) conditional
+whole-array rolls selected per lane — instead of a per-board dynamic slice
+(which would be an unvectorizable gather across lanes).
+"""
+
+import jax.numpy as jnp
+
+from .. import cells as C
+from .agent import gather_cells, _cell_mask
+
+_U16 = jnp.uint16
+
+
+def barrel_roll(x, shift, axis):
+    """out[i] = x[(i + shift_b) % n] along ``axis`` with per-board shifts.
+
+    x: (H, W, B); shift: (B,) int32 in [0, n).
+    """
+    n = x.shape[axis]
+    for k in range(max(1, (n - 1).bit_length())):
+        bit = ((shift >> k) & 1).astype(bool)[None, None, :]
+        x = jnp.where(bit, jnp.roll(x, -(1 << k), axis=axis), x)
+    return x
+
+
+def combine_board_goals(board, goals, remove_white_goals=True):
+    """Merge goal colors into bits 12-14 of the board word."""
+    gcol = goals & _U16(C.COLORS)
+    if remove_white_goals:
+        gcol = jnp.where(gcol == _U16(C.COLORS), _U16(0), gcol)
+    return board + (gcol << 3)
+
+
+def recenter(combined, agent_row, agent_col, view_shape,
+             exit_row=None, exit_col=None, exit_valid=None):
+    """Crop an agent-centered (vh, vw, B) view out of (H, W, B) boards."""
+    h, w, b = combined.shape
+    vh, vw = view_shape
+    r_shift = (agent_row - vh // 2) % h
+    c_shift = (agent_col - vw // 2) % w
+    shifted = barrel_roll(combined, r_shift, axis=0)
+    shifted = barrel_roll(shifted, c_shift, axis=1)
+    # Tiling crop: views larger than the board repeat it (torus semantics).
+    view = jnp.take(shifted, jnp.arange(vh) % h, axis=0)
+    view = jnp.take(view, jnp.arange(vw) % w, axis=1)
+
+    if exit_row is not None:
+        # Project exits onto the view perimeter (helper_utils.py:63-73).
+        k = exit_row.shape[0]
+        vals = gather_cells(combined, exit_row, exit_col)  # (K, B)
+        jy = (exit_row - agent_row[None, :] + h // 2) % h - h // 2
+        jx = (exit_col - agent_col[None, :] + w // 2) % w - w // 2
+        jy = jnp.clip(jy + vh // 2, 0, vh - 1)
+        jx = jnp.clip(jx + vw // 2, 0, vw - 1)
+        for i in range(k):  # ascending row-major order: last exit wins
+            mask = _cell_mask(view.shape, jy[i], jx[i]) & exit_valid[i][None, None, :]
+            view = jnp.where(mask, vals[i][None, None, :], view)
+    return view
+
+
+def unpack_channels(view, channels):
+    """(vh, vw, B) uint16 -> (B, vh, vw, C) uint8 binary channels."""
+    shifts = jnp.asarray(channels, jnp.uint16)
+    bits = ((view[..., None] >> shifts) & _U16(1)).astype(jnp.uint8)
+    return jnp.transpose(bits, (2, 0, 1, 3))
+
+
+def observe(board, goals, agent_row, agent_col,
+            exit_row, exit_col, exit_valid,
+            view_shape, output_channels=tuple(range(15)),
+            remove_white_goals=True):
+    """Full observation op -> (B, vh, vw, C) uint8 (or packed uint16
+    (B, vh, vw) when ``output_channels`` is None)."""
+    combined = combine_board_goals(board, goals, remove_white_goals)
+    view = recenter(combined, agent_row, agent_col, view_shape,
+                    exit_row, exit_col, exit_valid)
+    if output_channels is None:
+        return jnp.transpose(view, (2, 0, 1))
+    return unpack_channels(view, output_channels)

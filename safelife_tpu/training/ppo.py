@@ -1,0 +1,302 @@
+"""On-device PPO: batched rollout, multi-discount GAE, clipped update.
+
+Functional redesign of the reference trainer (``training/ppo.py:64-559``):
+where the reference interleaves a TF1 ``session.run`` policy batch with 16
+sequential Python env steps, here the rollout is a ``lax.scan`` over the
+batched env, GAE is a reverse scan, and the whole
+rollout -> advantages -> epochs x minibatches -> Adam pipeline is ONE jitted
+``train_step`` that never leaves the device.
+
+Reference-faithful loss details (all optional, defaults mirror the
+reference):
+
+* Policy loss via ``|A| * rect(sign(A) * (1 - pi/pi_old), eps)`` with a
+  relu/elu rectifier (``ppo.py:242-257``) — gradient-equivalent to the
+  standard PPO clipped surrogate, with the elu giving a smooth clip.
+* Optional eps rescaling by ``(1 + min_eps_rescale - pi_old)``.
+* Pseudo-entropy bookkeeping (``ppo.py:258-275``): the reference
+  stop-gradients the pseudo-entropy, so its "entropy bonus" contributes no
+  policy gradient; its real effect is a *smoothed pseudo-entropy* tracker
+  variable (updated by a quadratic tracking loss) that rescales the value
+  loss.  We reproduce that, and offer ``entropy_grad=True`` for a standard
+  differentiable entropy bonus.
+* Clipped value loss scaled by the smoothed pseudo-entropy
+  (``ppo.py:276-296``).
+* Multi-gamma heads: discounts, returns, advantages and value losses all
+  carry a trailing ``n_gamma`` axis with per-gamma weights.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    gamma: Tuple[float, ...] = (0.97,)
+    lmda: float = 0.9
+    policy_discount_weights: Tuple[float, ...] = (1.0,)
+    value_discount_weights: Tuple[float, ...] = (1.0,)
+
+    learning_rate: float = 3e-4
+    entropy_reg: float = 5e-2
+    entropy_clip: float = 1.0
+    entropy_grad: bool = False   # reference stop-gradients the bonus
+    vf_coef: float = 1.0
+    max_gradient_norm: float = 1.0
+    eps_clip: float = 0.1
+    rescale_policy_eps: bool = False
+    min_eps_rescale: float = 1e-3
+    reward_clip: float = 30.0
+    value_grad_rescaling: str = "smooth"  # False|'smooth'|'per_batch'|'per_state'
+    policy_rectifier: str = "elu"  # 'relu' | 'elu'
+
+    steps_per_env: int = 20
+    num_minibatches: int = 4
+    epochs_per_batch: int = 3
+    adam_epsilon: float = 1e-6
+
+    @property
+    def n_gamma(self):
+        return len(self.gamma)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any              # {'net': ..., 'spe': smoothed pseudo-entropy}
+    opt_state: Any
+    update_step: Any         # () int32 — number of train_batch updates
+
+
+class Trajectory(struct.PyTreeNode):
+    obs: Any        # (T, B, vh, vw, C) uint8
+    action: Any     # (T, B) int32
+    old_pi: Any     # (T, B) float32 — pi_old(action)
+    reward: Any     # (T, B) float32
+    done: Any       # (T, B) bool
+    value: Any      # (T+1, B, n_gamma) float32
+
+
+def make_optimizer(cfg: PPOConfig, lr=None):
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_gradient_norm)
+        if cfg.max_gradient_norm > 0 else optax.identity(),
+        optax.adam(lr if lr is not None else cfg.learning_rate,
+                   eps=cfg.adam_epsilon),
+    )
+
+
+def init_train_state(cfg: PPOConfig, net, obs_shape, key, tx=None):
+    dummy = jnp.zeros((1,) + tuple(obs_shape), jnp.uint8)
+    net_params = net.init(key, dummy)
+    params = {"net": net_params, "spe": jnp.float32(1.0)}
+    tx = tx or make_optimizer(cfg)
+    return TrainState(
+        params=params, opt_state=tx.init(params),
+        update_step=jnp.int32(0))
+
+
+# ---------------------------------------------------------------------------
+# Rollout
+# ---------------------------------------------------------------------------
+
+def rollout(cfg: PPOConfig, net, env, bank, params, env_state, obs, key):
+    """Collect ``cfg.steps_per_env`` lockstep steps from the batched env.
+
+    ``env`` may be a :class:`BatchedSafeLifeEnv` or any wrapper exposing the
+    same ``step(state, bank, action, key) -> (state, TimeStep)`` API (reward
+    wrappers live in safelife_tpu.env.wrappers).
+    Returns (env_state, obs, Trajectory).
+    """
+    def policy_step(carry, _):
+        env_state, obs, key = carry
+        key, k_act, k_env = jax.random.split(key, 3)
+        logits, value = net.apply(params["net"], obs)
+        action = jax.random.categorical(k_act, logits)
+        probs = jax.nn.softmax(logits)
+        old_pi = jnp.take_along_axis(probs, action[:, None], axis=1)[:, 0]
+        new_env_state, ts = env.step(env_state, bank, action, k_env)
+        reward = ts.reward
+        out = (obs, action.astype(jnp.int32), old_pi, reward, ts.done, value)
+        return (new_env_state, ts.obs, key), out
+
+    (env_state, obs, _), (obs_seq, action, old_pi, reward, done, value) = \
+        jax.lax.scan(policy_step, (env_state, obs, key), length=cfg.steps_per_env)
+    _, final_value = net.apply(params["net"], obs)
+    value = jnp.concatenate([value, final_value[None]], axis=0)
+    traj = Trajectory(obs=obs_seq, action=action, old_pi=old_pi,
+                      reward=reward, done=done, value=value)
+    return env_state, obs, traj
+
+
+# ---------------------------------------------------------------------------
+# Advantages (multi-gamma GAE) — reference ppo.py:466-508
+# ---------------------------------------------------------------------------
+
+def compute_gae(cfg: PPOConfig, reward, done, value):
+    """reward/done: (T, B); value: (T+1, B, n_gamma).
+    Returns (returns, advantages): (T, B, n_gamma)."""
+    gamma = jnp.asarray(cfg.gamma, jnp.float32)          # (n_gamma,)
+    lam_gamma = cfg.lmda * gamma
+    if cfg.reward_clip > 0:
+        reward = jnp.clip(reward, -cfg.reward_clip, cfg.reward_clip)
+    r = reward[..., None]                                # (T, B, 1)
+    mask = (~done)[..., None].astype(jnp.float32)        # (T, B, 1)
+    delta = r + gamma * mask * value[1:] - value[:-1]
+
+    def backward(carry, x):
+        next_ret, next_adv = carry
+        r_t, m_t, d_t, v_next = x
+        ret = r_t + gamma * m_t * next_ret
+        adv = d_t + lam_gamma * m_t * next_adv
+        return (ret, adv), (ret, adv)
+
+    init = (value[-1], jnp.zeros_like(value[-1]))
+    _, (returns, adv) = jax.lax.scan(
+        backward, init, (r, mask, delta, value[1:]), reverse=True)
+    return returns, adv
+
+
+# ---------------------------------------------------------------------------
+# Losses — reference ppo.py:242-305
+# ---------------------------------------------------------------------------
+
+def _rectifier(name):
+    if name == "relu":
+        return lambda x, eps: jnp.maximum(x, -eps)
+    if name == "elu":
+        return lambda x, eps: eps * (jnp.exp(jnp.minimum(x / eps, 0.0)) - 1.0) \
+            + jnp.maximum(x, 0.0)
+    raise ValueError(f"unknown rectifier '{name}'")
+
+
+def ppo_loss(cfg: PPOConfig, net, params, obs, action, old_pi, old_value,
+             returns, advantages):
+    """Loss over one minibatch.  obs: (T, M, ...), rest (T, M[, n_gamma])."""
+    logits, value = net.apply(params["net"], obs)
+    probs = jax.nn.softmax(logits)
+    a_pi = jnp.take_along_axis(probs, action[..., None], axis=-1)[..., 0]
+
+    pw = jnp.asarray(cfg.policy_discount_weights, jnp.float32)
+    vw = jnp.asarray(cfg.value_discount_weights, jnp.float32)
+
+    prob_diff = jnp.sign(advantages) * (1.0 - a_pi / old_pi)[..., None]
+    if cfg.rescale_policy_eps:
+        eps = cfg.eps_clip * (1.0 + cfg.min_eps_rescale - old_pi)[..., None]
+    else:
+        eps = jnp.float32(cfg.eps_clip)
+    rect = _rectifier(cfg.policy_rectifier)
+    policy_loss = jnp.mean(
+        jnp.abs(advantages) * rect(prob_diff, eps) * pw)
+
+    entropy = -jnp.sum(probs * jnp.log(probs + 1e-12), axis=-1)
+    pseudo_entropy = jnp.sum(probs * (1.0 - probs), axis=-1)
+    if not cfg.entropy_grad:
+        pseudo_entropy = jax.lax.stop_gradient(pseudo_entropy)
+    avg_pe = jnp.mean(pseudo_entropy)
+    spe = params["spe"]
+    entropy_loss = -cfg.entropy_reg * jnp.minimum(avg_pe, cfg.entropy_clip)
+    entropy_loss += 0.5 * jnp.square(jax.lax.stop_gradient(avg_pe) - spe)
+
+    v_clip = old_value + jnp.clip(value - old_value, -cfg.eps_clip, cfg.eps_clip)
+    value_loss = jnp.maximum(
+        jnp.square(value - returns), jnp.square(v_clip - returns))
+    if cfg.value_grad_rescaling == "per_state":
+        value_loss = value_loss * pseudo_entropy[..., None]
+    elif cfg.value_grad_rescaling == "per_batch":
+        value_loss = value_loss * avg_pe
+    elif cfg.value_grad_rescaling == "smooth":
+        value_loss = value_loss * jax.lax.stop_gradient(spe)
+    elif cfg.value_grad_rescaling:
+        raise ValueError(
+            f"unknown value_grad_rescaling '{cfg.value_grad_rescaling}'")
+    value_loss = 0.5 * jnp.mean(value_loss * vw)
+
+    total = policy_loss + cfg.vf_coef * value_loss + entropy_loss
+    metrics = dict(
+        policy_loss=policy_loss, value_loss=value_loss,
+        entropy=jnp.mean(entropy), pseudo_entropy=avg_pe,
+        smoothed_pseudo_entropy=spe,
+    )
+    return total, metrics
+
+
+# ---------------------------------------------------------------------------
+# One fully-fused training batch: rollout + GAE + epochs x minibatches
+# ---------------------------------------------------------------------------
+
+class PPO:
+    """Binds config + net + env into jitted train/rollout steps.
+
+    Usage::
+
+        ppo = PPO(cfg, net, env, tx)
+        ts = init_train_state(cfg, net, obs_shape, key, ppo.tx)
+        train_state, env_state, obs, metrics = ppo.train_batch(
+            ts, env_state, obs, bank, key)
+    """
+
+    def __init__(self, cfg: PPOConfig, net, env, tx=None):
+        self.cfg = cfg
+        self.net = net
+        self.env = env
+        self.tx = tx or make_optimizer(cfg)
+
+    def __hash__(self):
+        return hash((self.cfg, self.env))
+
+    def __eq__(self, other):
+        return (type(other) is type(self) and other.cfg == self.cfg
+                and other.env == self.env
+                and other.net == self.net)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_batch(self, train_state, env_state, obs, bank, key):
+        cfg = self.cfg
+        k_roll, k_perm = jax.random.split(key)
+        env_state, obs, traj = rollout(
+            cfg, self.net, self.env, bank, train_state.params,
+            env_state, obs, k_roll)
+        returns, advantages = compute_gae(cfg, traj.reward, traj.done, traj.value)
+
+        batch = traj.action.shape[1]
+        n_mb = cfg.num_minibatches
+        assert batch % n_mb == 0, "batch must divide num_minibatches"
+
+        def one_epoch(carry, key_e):
+            params, opt_state = carry
+            perm = jax.random.permutation(key_e, batch).reshape(n_mb, -1)
+
+            def one_minibatch(carry, idx):
+                params, opt_state = carry
+                mb = lambda x: jnp.take(x, idx, axis=1)
+                (loss, metrics), grads = jax.value_and_grad(
+                    ppo_loss, argnums=2, has_aux=True)(
+                        cfg, self.net, params,
+                        mb(traj.obs), mb(traj.action), mb(traj.old_pi),
+                        mb(traj.value[:-1]), mb(returns), mb(advantages))
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            return jax.lax.scan(one_minibatch, (params, opt_state), perm)
+
+        keys = jax.random.split(k_perm, cfg.epochs_per_batch)
+        (params, opt_state), metrics = jax.lax.scan(
+            one_epoch, (train_state.params, train_state.opt_state), keys)
+        metrics = jax.tree.map(lambda x: x[-1, -1], metrics)
+        metrics.update(
+            mean_reward=traj.reward.mean(),
+            mean_return=returns.mean(axis=(0, 1)),
+            mean_advantage=advantages.mean(axis=(0, 1)),
+            mean_value=traj.value.mean(axis=(0, 1)),
+        )
+        train_state = TrainState(
+            params=params, opt_state=opt_state,
+            update_step=train_state.update_step + 1)
+        return train_state, env_state, obs, metrics

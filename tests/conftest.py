@@ -9,3 +9,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+# Persistent compilation cache makes repeat test runs fast.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/safelife_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

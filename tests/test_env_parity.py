@@ -1,0 +1,136 @@
+"""End-to-end environment parity: full fixed-seed episodes must reproduce
+the reference engine's boards, rewards, agent state and observations
+bit-for-bit (BASELINE configs 1-2).
+
+All six golden episodes run as ONE lockstep batch (B=6) with per-episode
+RNG streams — this simultaneously checks single-env parity and batched
+heterogeneous-level execution."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from safelife_tpu.env.env import BatchedSafeLifeEnv, EnvConfig
+from safelife_tpu.levels import loader
+from safelife_tpu.ops import agent as agent_ops, scoring
+from safelife_tpu.ops.life_numpy import spawn_consumption_mask
+from safelife_tpu.utils.rng import NumpyRandomBridge
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "episodes.npz")
+
+EPISODES = [
+    ("append-still-0", "benchmarks/v1.0/append-still", 0),
+    ("append-still-7", "benchmarks/v1.0/append-still", 7),
+    ("prune-still-0", "benchmarks/v1.0/prune-still", 0),
+    ("append-spawn-0", "benchmarks/v1.0/append-spawn", 0),
+    ("navigation-0", "benchmarks/v1.0/navigation", 0),
+    ("prune-dynamic-0", "benchmarks/v1.0/prune-dynamic", 0),
+]
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN)
+
+
+@jax.jit
+def _action_board(state, action):
+    comp, poss = scoring.performance_ratio(
+        state.board, state.goals, state.baseline_score)
+    ce = scoring.can_exit(comp, poss, state.min_performance)
+    return agent_ops.execute_action(
+        state.board, state.agent_row, state.agent_col, state.orientation,
+        action, ce, state.game_over).board
+
+
+def _episode_bank():
+    levels = []
+    for _, path, idx in EPISODES:
+        levels.append(loader.load_levels(path)[idx])
+    return loader.build_bank(levels)
+
+
+def _spawn_field(board, spawn_prob, rng):
+    """Spawn decisions drawn exactly as the C engine: row-major float64."""
+    mask = spawn_consumption_mask(board)
+    f = np.zeros(board.shape, bool)
+    n = int(mask.sum())
+    if n:
+        f[mask] = rng.draw(n) < spawn_prob
+    return f
+
+
+def test_episode_batch_parity(golden):
+    bank = _episode_bank()
+    env = BatchedSafeLifeEnv(EnvConfig(auto_reset=False))
+    n = len(EPISODES)
+    state = env.reset_to_levels(bank, jnp.arange(n))
+
+    names = [name for name, _, _ in EPISODES]
+    # Initial state parity (post revert + exit recolor).
+    board0, goals0, points0 = jax.device_get(
+        (state.board, state.goals, state.points_last))
+    for b, name in enumerate(names):
+        np.testing.assert_array_equal(board0[..., b], golden[name + "/init_board"])
+        np.testing.assert_array_equal(goals0[..., b], golden[name + "/init_goals"])
+        assert points0[b] == golden[name + "/init_points"]
+
+    # Initial observations.
+    obs0 = jax.device_get(env.observe(state))
+    for b, name in enumerate(names):
+        np.testing.assert_array_equal(obs0[b], golden[name + "/obs0"])
+
+    actions = np.stack([golden[name + "/actions"] for name in names], axis=1)
+    spawn_probs = [float(golden[name + "/spawn_prob"]) for name in names]
+    rngs = [NumpyRandomBridge(99) for _ in names]
+    key = jax.random.key(0)  # unused: spawn fields are overridden
+    goals_host = goals0
+
+    for t in range(actions.shape[0]):
+        a = jnp.asarray(actions[t])
+        # Draw spawn fields in the C engine's order: per episode, the
+        # post-action board consumes first, then the goals board.
+        ab = jax.device_get(_action_board(state, a))
+        fb = np.stack([
+            _spawn_field(ab[..., b], spawn_probs[b], rngs[b])
+            for b in range(n)], axis=-1)
+        fg = np.stack([
+            _spawn_field(goals_host[..., b], spawn_probs[b], rngs[b])
+            for b in range(n)], axis=-1)
+
+        state, ts = env.step(state, bank, a, key,
+                             spawn_board=jnp.asarray(fb),
+                             spawn_goals=jnp.asarray(fg))
+        (board, goals_host, reward, arow, acol, orient, over, points,
+         comp, poss) = jax.device_get(
+            (state.board, state.goals, ts.reward, state.agent_row,
+             state.agent_col, state.orientation, state.game_over,
+             state.points_last, ts.perf_completed, ts.perf_possible))
+        for b, name in enumerate(names):
+            msg = f"{name} step {t}"
+            np.testing.assert_array_equal(
+                board[..., b], golden[name + "/board"][t], msg)
+            np.testing.assert_array_equal(
+                goals_host[..., b], golden[name + "/goals"][t], msg)
+            assert reward[b] == pytest.approx(
+                float(golden[name + "/reward"][t])), msg
+            assert (acol[b], arow[b]) == tuple(
+                golden[name + "/agent_loc"][t]), msg
+            assert orient[b] == golden[name + "/orientation"][t], msg
+            assert bool(over[b]) == bool(golden[name + "/game_over"][t]), msg
+            assert points[b] == golden[name + "/points"][t], msg
+            assert comp[b] == golden[name + "/perf_completed"][t], msg
+            assert poss[b] == golden[name + "/perf_possible"][t], msg
+
+
+def test_observation_views(golden):
+    bank = loader.load_bank("benchmarks/v1.0/append-still")
+    for view in (15, 33, 25):
+        env = BatchedSafeLifeEnv(EnvConfig(view_shape=(view, view)))
+        state = env.reset_to_levels(bank, jnp.array([3]))
+        obs = np.asarray(env.observe(state))[0]
+        np.testing.assert_array_equal(
+            obs, golden[f"obs/view{view}"], err_msg=f"view {view}")

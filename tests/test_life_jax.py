@@ -17,6 +17,12 @@ from safelife_tpu.utils.rng import NumpyRandomBridge
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "ca_steps.npz")
 
 
+# One compile per board shape instead of ~40 per-op eager compiles: XLA
+# compiles in this environment have a large fixed latency, so tests must
+# route everything through jit.
+_adv = jax.jit(life.advance_board)
+
+
 def parity_spawn_field(board, spawn_prob, rng):
     """Draw the spawn decisions exactly as the C engine would (float64,
     row-major consumption order)."""
@@ -30,7 +36,7 @@ def parity_spawn_field(board, spawn_prob, rng):
 
 def jax_step_parity(board, spawn_prob, rng):
     field = parity_spawn_field(board, spawn_prob, rng)
-    out = life.advance_board(jnp.asarray(board), jnp.asarray(field))
+    out = _adv(jnp.asarray(board), jnp.asarray(field))
     return np.asarray(out)
 
 
@@ -69,7 +75,7 @@ def test_jax_matches_oracle_on_random_soups():
             board |= f * (rng.random(board.shape) < 0.15).astype(np.uint16)
         field = rng.random(board.shape) < 0.35
         want = advance_board_reference(board, 1.0, rand_field=np.where(field, 0.0, 1.0))
-        got = np.asarray(life.advance_board(jnp.asarray(board), jnp.asarray(field)))
+        got = np.asarray(_adv(jnp.asarray(board), jnp.asarray(field)))
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
 
 
@@ -80,10 +86,9 @@ def test_batched_lockstep_equals_single(golden):
     rs = np.random.RandomState(3)
     field = rs.random(boards.shape) < 0.3
 
-    batched = np.asarray(
-        life.advance_board(jnp.asarray(boards), jnp.asarray(field)))
+    batched = np.asarray(_adv(jnp.asarray(boards), jnp.asarray(field)))
     for i in range(boards.shape[-1]):
-        single = np.asarray(life.advance_board(
+        single = np.asarray(_adv(
             jnp.asarray(boards[..., i]), jnp.asarray(field[..., i])))
         np.testing.assert_array_equal(batched[..., i], single)
 
