@@ -24,7 +24,7 @@ from flax import struct
 from .. import cells as C
 from ..ops import agent as agent_ops
 from ..ops import life, obs as obs_ops, scoring
-from .state import EnvState, LevelBank, find_exits
+from .state import EnvState, LevelBank
 
 ACTION_NAMES = (
     "NULL",
@@ -88,17 +88,16 @@ class BatchedSafeLifeEnv:
         return jax.random.randint(key, (batch,), 0, num_levels)
 
     def _fresh_state_fields(self, bank: LevelBank, idx):
-        """Per-board fields of a freshly-reset state (no counters)."""
+        """Per-board fields of a freshly-reset state (no counters).
+
+        Pure gathers: every reset-time quantity is precomputed in the bank,
+        so an in-jit auto-reset costs one gather pass over the level arrays.
+        """
         lv = bank.take(idx)
         init_board = lv.board
         init_goals = lv.goals
-        baseline = scoring.performance_score(init_board, init_goals)
         # update_exit_colors at reset: exits closed unless immediately open.
-        comp, poss = scoring.performance_ratio(init_board, init_goals, baseline)
-        ce = scoring.can_exit(comp, poss, lv.min_performance)
-        er, ec, ev = find_exits(init_board, self.config.max_exits)
-        board = _recolor_exits(init_board, init_board, ce)
-        points = scoring.current_points(board, init_goals)
+        board = _recolor_exits(init_board, init_board, lv.can_exit0)
         batch = idx.shape[0]
         return dict(
             board=board, goals=init_goals,
@@ -109,10 +108,13 @@ class BatchedSafeLifeEnv:
             init_board=init_board, init_goals=init_goals,
             spawn_prob=lv.spawn_prob.astype(jnp.float32),
             min_performance=lv.min_performance.astype(jnp.float32),
-            baseline_score=baseline,
-            exit_row=er, exit_col=ec, exit_valid=ev,
+            baseline_score=lv.baseline_score,
+            exit_row=lv.exit_row, exit_col=lv.exit_col,
+            exit_valid=lv.exit_valid,
             level_idx=idx.astype(jnp.int32),
-            points_last=points,
+            points_last=lv.points0,
+            perf_completed=jnp.zeros(batch, jnp.int32),
+            perf_possible=lv.possible0,
             episode_length=jnp.zeros(batch, jnp.int32),
             episode_reward=jnp.zeros(batch, jnp.float32),
             episode_done=jnp.zeros(batch, bool),
@@ -166,10 +168,12 @@ class BatchedSafeLifeEnv:
         prev_done = state.episode_done
         prev_over = state.game_over
 
-        # Exit gate as of action time.
-        comp0, poss0 = scoring.performance_ratio(
-            state.board, state.goals, state.baseline_score)
-        ce0 = scoring.can_exit(comp0, poss0, state.min_performance)
+        # Exit gate as of action time.  The performance ratio of the current
+        # board is cached in the state (computed post-advance last step, or
+        # from the bank at reset) — actions never change it mid-step because
+        # the gate is evaluated before the action executes.
+        ce0 = scoring.can_exit(
+            state.perf_completed, state.perf_possible, state.min_performance)
 
         act = agent_ops.execute_action(
             state.board, state.agent_row, state.agent_col,
@@ -207,7 +211,9 @@ class BatchedSafeLifeEnv:
             board=board, goals=goals,
             agent_row=act.agent_row, agent_col=act.agent_col,
             orientation=act.orientation, game_over=game_over,
-            points_last=points, episode_length=episode_length,
+            points_last=points,
+            perf_completed=comp1, perf_possible=poss1,
+            episode_length=episode_length,
             episode_reward=episode_reward, episode_done=done,
             episodes_completed=state.episodes_completed
             + (done & counted).sum().astype(jnp.int32),

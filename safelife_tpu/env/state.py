@@ -22,6 +22,11 @@ class LevelBank(struct.PyTreeNode):
     Built from npz archives / procgen by :mod:`safelife_tpu.levels.loader`.
     All levels in one bank share a board shape (torus dynamics depend on
     the shape, so mixed sizes cannot be batched together).
+
+    Everything a reset needs that is a pure function of the level — exit
+    locations, baseline performance score, initial points, the reset-time
+    exit gate — is precomputed at build time so an in-jit auto-reset is a
+    plain gather (no per-step rescoring of fresh levels).
     """
     board: Any        # (H, W, N) uint16
     goals: Any        # (H, W, N) uint16
@@ -30,6 +35,14 @@ class LevelBank(struct.PyTreeNode):
     orientation: Any  # (N,) int32
     spawn_prob: Any   # (N,) float32
     min_performance: Any  # (N,) float32
+    # Precomputed reset fields:
+    exit_row: Any     # (K, N) int32 — exit locations, row-major order
+    exit_col: Any     # (K, N) int32
+    exit_valid: Any   # (K, N) bool
+    baseline_score: Any   # (N,) int32 — performance_score of the raw level
+    possible0: Any    # (N,) int32 — possible_score(goals) - baseline
+    points0: Any      # (N,) int32 — current_points of the raw level
+    can_exit0: Any    # (N,) bool — exit gate open at reset
 
     @property
     def num_levels(self):
@@ -41,15 +54,8 @@ class LevelBank(struct.PyTreeNode):
 
     def take(self, idx):
         """Gather a batch of levels by index -> leaves with trailing B."""
-        return LevelBank(
-            board=jnp.take(self.board, idx, axis=-1),
-            goals=jnp.take(self.goals, idx, axis=-1),
-            agent_row=jnp.take(self.agent_row, idx),
-            agent_col=jnp.take(self.agent_col, idx),
-            orientation=jnp.take(self.orientation, idx),
-            spawn_prob=jnp.take(self.spawn_prob, idx),
-            min_performance=jnp.take(self.min_performance, idx),
-        )
+        return jax.tree.map(
+            lambda x: jnp.take(x, idx, axis=-1), self)
 
 
 class EnvState(struct.PyTreeNode):
@@ -73,6 +79,8 @@ class EnvState(struct.PyTreeNode):
     level_idx: Any    # (B,) int32 — bank index being played
     # Episode bookkeeping
     points_last: Any      # (B,) int32 — cached current_points for the delta
+    perf_completed: Any   # (B,) int32 — cached performance vs baseline
+    perf_possible: Any    # (B,) int32 — cached max-possible vs baseline
     episode_length: Any   # (B,) int32
     episode_reward: Any   # (B,) float32
     episode_done: Any     # (B,) bool — done flag of the previous step
@@ -89,6 +97,21 @@ class EnvState(struct.PyTreeNode):
     @property
     def board_shape(self):
         return self.board.shape[:2]
+
+
+def find_exits_np(board, max_exits):
+    """Host (numpy) exit finder used at bank build time.
+
+    board: (H, W) uint16 -> (K,) rows, cols, valid.
+    """
+    board = np.asarray(board)
+    rr, cc = np.nonzero((board & C.EXIT) != 0)
+    k = min(max_exits, len(rr))
+    rows = np.zeros(max_exits, np.int32)
+    cols = np.zeros(max_exits, np.int32)
+    valid = np.zeros(max_exits, bool)
+    rows[:k], cols[:k], valid[:k] = rr[:k], cc[:k], True
+    return rows, cols, valid
 
 
 def find_exits(board, max_exits):

@@ -120,8 +120,16 @@ def load_levels(*paths):
     return levels
 
 
-def build_bank(levels):
-    """Stack uniform-shape level dicts into a device LevelBank."""
+def build_bank(levels, max_exits=4):
+    """Stack uniform-shape level dicts into a device LevelBank.
+
+    Precomputes every reset-time quantity that is a pure function of the
+    level (exit locations, baseline/initial scores, reset exit gate) so
+    in-jit auto-resets are plain gathers.
+    """
+    from ..env.state import find_exits_np
+    from ..ops import scoring
+
     if not levels:
         raise ValueError("No levels to build a bank from.")
     shapes = {lv["board"].shape for lv in levels}
@@ -132,14 +140,35 @@ def build_bank(levels):
             "group_by_shape() first.")
     stack = lambda key: jnp.asarray(
         np.stack([lv[key] for lv in levels], axis=-1))
+
+    exits = [find_exits_np(lv["board"], max_exits) for lv in levels]
+    board_np = np.stack([lv["board"] for lv in levels], axis=-1)
+    goals_np = np.stack([lv["goals"] for lv in levels], axis=-1)
+    # numpy scoring twins reduce over the last two axes; ours are (H, W, N),
+    # so move the level axis first.
+    b_nf = np.moveaxis(board_np, -1, 0)
+    g_nf = np.moveaxis(goals_np, -1, 0)
+    baseline = scoring.performance_score_np(b_nf, g_nf).astype(np.int32)
+    possible0 = (scoring.possible_score_np(g_nf).astype(np.int32) - baseline)
+    points0 = scoring.current_points_np(b_nf, g_nf).astype(np.int32)
+    min_perf = np.stack([lv["min_performance"] for lv in levels])
+    can_exit0 = (min_perf < 0) | (0 >= min_perf * possible0)
+
     return LevelBank(
-        board=stack("board"),
-        goals=stack("goals"),
+        board=jnp.asarray(board_np),
+        goals=jnp.asarray(goals_np),
         agent_row=stack("agent_row"),
         agent_col=stack("agent_col"),
         orientation=stack("orientation"),
         spawn_prob=stack("spawn_prob"),
         min_performance=stack("min_performance"),
+        exit_row=jnp.asarray(np.stack([e[0] for e in exits], axis=-1)),
+        exit_col=jnp.asarray(np.stack([e[1] for e in exits], axis=-1)),
+        exit_valid=jnp.asarray(np.stack([e[2] for e in exits], axis=-1)),
+        baseline_score=jnp.asarray(baseline),
+        possible0=jnp.asarray(possible0),
+        points0=jnp.asarray(points0),
+        can_exit0=jnp.asarray(can_exit0),
     )
 
 

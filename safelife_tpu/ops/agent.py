@@ -21,14 +21,15 @@ direction.  Cells touched (relative to agent at ``p0``, facing ``d``):
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import cells as C
 
 _U16 = jnp.uint16
 
 # Orientation 0..3 = UP, RIGHT, DOWN, LEFT; rows grow downward.
-_DR = jnp.array([-1, 0, 1, 0], jnp.int32)
-_DC = jnp.array([0, 1, 0, -1], jnp.int32)
+_DR = np.array([-1, 0, 1, 0], np.int32)  # numpy: no device init at import
+_DC = np.array([0, 1, 0, -1], np.int32)
 
 
 class ActionResult(NamedTuple):
@@ -78,8 +79,8 @@ def execute_action(board, agent_row, agent_col, orientation, action,
     is_toggle = (action >= 5) & (action <= 8) & ~game_over
     new_orient = jnp.where(is_move | is_toggle, act_dir, orientation)
 
-    dr = _DR[new_orient]
-    dc = _DC[new_orient]
+    dr = jnp.asarray(_DR)[new_orient]
+    dc = jnp.asarray(_DC)[new_orient]
     r0, c0 = agent_row, agent_col
     r1, c1 = (r0 + dr) % h, (c0 + dc) % w
     r2, c2 = (r0 - dr) % h, (c0 - dc) % w

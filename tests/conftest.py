@@ -2,7 +2,12 @@ import os
 
 # Tests must run everywhere (CI boxes without a TPU): force the CPU backend
 # and fake an 8-device mesh so sharding logic is exercised for real.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# The TPU image registers its PJRT plugin from sitecustomize *before* this
+# conftest runs and force-selects it via jax.config, so plain env-var
+# defaults are not enough — override the config after import, and set
+# XLA_FLAGS before the (lazy) backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -10,8 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
-# Persistent compilation cache makes repeat test runs fast.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8, "8-device CPU mesh required for tests"
+
+# Persistent compilation cache makes repeat test runs fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/safelife_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
