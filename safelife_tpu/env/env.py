@@ -61,6 +61,11 @@ class TimeStep(struct.PyTreeNode):
     perf_completed: Any   # (B,) int32
     perf_possible: Any    # (B,) int32
     level_idx: Any        # (B,) int32
+    # Full post-step state BEFORE any auto-reset.  Wrappers (movement bonus,
+    # side-effect penalty, recorders) need the pre-reset board/agent; under
+    # jit these are references into the fused program — unused leaves are
+    # dead-code-eliminated, so carrying the whole state costs nothing.
+    state_before_reset: Any = None
 
 
 class BatchedSafeLifeEnv:
@@ -239,6 +244,7 @@ class BatchedSafeLifeEnv:
             episode_reward=mid.episode_reward,
             perf_completed=comp1, perf_possible=poss1,
             level_idx=mid.level_idx,
+            state_before_reset=mid,
         )
         return new_state, ts
 

@@ -122,16 +122,24 @@ def rollout(cfg: PPOConfig, net, env, bank, params, env_state, obs, key):
         old_pi = jnp.take_along_axis(probs, action[:, None], axis=1)[:, 0]
         new_env_state, ts = env.step(env_state, bank, action, k_env)
         reward = ts.reward
-        out = (obs, action.astype(jnp.int32), old_pi, reward, ts.done, value)
+        stats = dict(done=ts.done, times_up=ts.times_up,
+                     episode_length=ts.episode_length,
+                     episode_reward=ts.episode_reward,
+                     perf_completed=ts.perf_completed,
+                     perf_possible=ts.perf_possible,
+                     level_idx=ts.level_idx)
+        out = (obs, action.astype(jnp.int32), old_pi, reward, ts.done, value,
+               stats)
         return (new_env_state, ts.obs, key), out
 
-    (env_state, obs, _), (obs_seq, action, old_pi, reward, done, value) = \
+    (env_state, obs, _), \
+        (obs_seq, action, old_pi, reward, done, value, epstats) = \
         jax.lax.scan(policy_step, (env_state, obs, key), length=cfg.steps_per_env)
     _, final_value = net.apply(params["net"], obs)
     value = jnp.concatenate([value, final_value[None]], axis=0)
     traj = Trajectory(obs=obs_seq, action=action, old_pi=old_pi,
                       reward=reward, done=done, value=value)
-    return env_state, obs, traj
+    return env_state, obs, traj, epstats
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +267,7 @@ class PPO:
     def train_batch(self, train_state, env_state, obs, bank, key):
         cfg = self.cfg
         k_roll, k_perm = jax.random.split(key)
-        env_state, obs, traj = rollout(
+        env_state, obs, traj, epstats = rollout(
             cfg, self.net, self.env, bank, train_state.params,
             env_state, obs, k_roll)
         returns, advantages = compute_gae(cfg, traj.reward, traj.done, traj.value)
@@ -295,6 +303,7 @@ class PPO:
             mean_return=returns.mean(axis=(0, 1)),
             mean_advantage=advantages.mean(axis=(0, 1)),
             mean_value=traj.value.mean(axis=(0, 1)),
+            episodes=epstats,
         )
         train_state = TrainState(
             params=params, opt_state=opt_state,
