@@ -23,7 +23,7 @@ from flax import struct
 
 from .. import cells as C
 from ..ops import agent as agent_ops
-from ..ops import life, obs as obs_ops, scoring
+from ..ops import life, life_pallas, obs as obs_ops, scoring
 from .state import EnvState, LevelBank
 
 ACTION_NAMES = (
@@ -48,6 +48,7 @@ class EnvConfig:
     can_toggle_powers: bool = False
     can_toggle_colors: bool = False
     compute_obs: bool = True
+    use_pallas: bool = True  # fused CA kernel on TPU (fast path only)
 
 
 class TimeStep(struct.PyTreeNode):
@@ -188,14 +189,23 @@ class BatchedSafeLifeEnv:
         game_over = prev_over | act.exited
 
         k_board, k_goals, k_reset = jax.random.split(key, 3)
-        if spawn_board is None:
-            u = jax.random.uniform(k_board, state.board.shape, jnp.float32)
-            spawn_board = u < state.spawn_prob[None, None, :]
-        if spawn_goals is None:
-            u = jax.random.uniform(k_goals, state.goals.shape, jnp.float32)
-            spawn_goals = u < state.spawn_prob[None, None, :]
-        board = life.advance_board(act.board, spawn_board)
-        goals = life.advance_board(state.goals, spawn_goals)
+        if (spawn_board is None and spawn_goals is None and cfg.use_pallas
+                and life_pallas.available(state.batch_size)):
+            # Fast path: fused Pallas kernel (board + goals, one VMEM pass,
+            # in-core PRNG).  Parity path below takes precomputed fields.
+            seed = jax.random.randint(
+                k_board, (), 0, jnp.int32(2**31 - 1), dtype=jnp.int32)
+            board, goals = life_pallas.advance_both(
+                act.board, state.goals, state.spawn_prob, seed)
+        else:
+            if spawn_board is None:
+                u = jax.random.uniform(k_board, state.board.shape, jnp.float32)
+                spawn_board = u < state.spawn_prob[None, None, :]
+            if spawn_goals is None:
+                u = jax.random.uniform(k_goals, state.goals.shape, jnp.float32)
+                spawn_goals = u < state.spawn_prob[None, None, :]
+            board = life.advance_board(act.board, spawn_board)
+            goals = life.advance_board(state.goals, spawn_goals)
 
         points = scoring.current_points(board, goals)
         reward = act.reward + (points - state.points_last).astype(jnp.float32)

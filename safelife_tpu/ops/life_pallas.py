@@ -1,0 +1,144 @@
+"""Fused Pallas TPU kernel: one VMEM pass advancing board AND goals.
+
+The XLA version (:mod:`safelife_tpu.ops.life`) materializes every torus roll
+in HBM (~150 MB of traffic per call at B=4096); this kernel keeps the whole
+(H, W, 128-lane) block plus all stencil intermediates in VMEM, reads each
+board exactly once and writes it exactly once, and draws its spawn
+randomness from the in-core PRNG — so both the board and goal advances of an
+env step (reference ``safelife_game.py:657-660`` stepping both through
+``advance_board.c``) cost one HBM round-trip of the state.
+
+Layout: boards are (H, W, B) uint16 with the batch on the 128-wide lane
+axis; the grid tiles B into lanes-of-128 blocks (B % 128 == 0 — pad the
+batch otherwise).  H and W live on sublanes, so all 3x3 stencil shifts are
+VMEM-local data movement.
+
+Randomness: fast-path only.  Spawn fires where ``u < spawn_prob`` with
+``u`` drawn from ``pltpu.prng_random_bits`` seeded per (step, block); the
+bit-exact parity path (host MT19937 stream) stays on the XLA kernel, which
+accepts precomputed spawn fields.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import cells as C
+
+LANES = 128
+
+
+def _advance_block(board, spawn):
+    """The CA rule on an (H, W, L) int32 block; mirrors ops/life.py."""
+    alive = board & 1
+    spawning = (board >> C.SPAWNING_BIT) & 1
+    has_r = (board >> C.COLOR_BIT) & 1
+    has_g = (board >> (C.COLOR_BIT + 1)) & 1
+    has_b = (board >> (C.COLOR_BIT + 2)) & 1
+    cw = alive + 2 * spawning
+    has_d = ((board >> C.DESTRUCTIBLE_BIT) | (board >> C.EXIT_BIT)) & 1
+
+    packed = (alive
+              + ((has_r * cw) << 5)
+              + ((has_g * cw) << 10)
+              + ((has_b * cw) << 15)
+              + ((has_d * alive) << 20))
+
+    h, w = board.shape[0], board.shape[1]
+
+    def nb_sum(x):
+        r = x + pltpu.roll(x, 1, 1) + pltpu.roll(x, w - 1, 1)
+        return r + pltpu.roll(r, 1, 0) + pltpu.roll(r, h - 1, 0)
+
+    def nb_or(x):
+        r = x | pltpu.roll(x, 1, 1) | pltpu.roll(x, w - 1, 1)
+        return r | pltpu.roll(r, 1, 0) | pltpu.roll(r, h - 1, 0)
+
+    counts = nb_sum(packed)
+    n_alive = counts & 31
+    inherit = jnp.where(((counts >> 5) & 31) >= 2, C.COLOR_R, 0)
+    inherit |= jnp.where(((counts >> 10) & 31) >= 2, C.COLOR_G, 0)
+    inherit |= jnp.where(((counts >> 15) & 31) >= 2, C.COLOR_B, 0)
+    destr2 = ((counts >> 20) & 31) >= 2
+
+    flags = nb_or(board)
+    preserved = (flags & C.PRESERVING) != 0
+    inhibited = (flags & C.INHIBITING) != 0
+    near_spawner = (flags & C.SPAWNING) != 0
+
+    is_alive = alive != 0
+    frozen = (board & C.FROZEN) != 0
+    three = n_alive == 3
+    survives = frozen | preserved | three | (n_alive == 4)
+    born = three & ~frozen & ~inhibited
+    spawned = ~frozen & ~inhibited & ~born & near_spawner & spawn
+
+    born_cell = C.ALIVE | inherit | jnp.where(destr2, C.DESTRUCTIBLE, 0)
+    spawn_cell = (C.ALIVE | C.DESTRUCTIBLE) | inherit
+
+    return jnp.where(
+        is_alive,
+        jnp.where(survives, board, 0),
+        jnp.where(born, born_cell, jnp.where(spawned, spawn_cell, board)),
+    )
+
+
+def _spawn_field(shape, thresh24):
+    """Boolean spawn field: 24-bit uniform < per-lane threshold."""
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    u24 = (pltpu.bitcast(bits, jnp.int32) >> 8) & 0x00FFFFFF
+    return u24 < thresh24
+
+
+def _kernel(seed_ref, prob_ref, board_ref, goals_ref, out_b_ref, out_g_ref):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    thresh24 = (prob_ref[:] * jnp.float32(1 << 24)).astype(jnp.int32)  # (1, L)
+    shape = board_ref.shape
+
+    board = board_ref[:].astype(jnp.int32)
+    spawn_b = _spawn_field(shape, thresh24[None, :, :])
+    out_b_ref[:] = _advance_block(board, spawn_b).astype(jnp.uint16)
+
+    goals = goals_ref[:].astype(jnp.int32)
+    spawn_g = _spawn_field(shape, thresh24[None, :, :])
+    out_g_ref[:] = _advance_block(goals, spawn_g).astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def advance_both(board, goals, spawn_prob, seed, interpret=False):
+    """Advance board and goals one CA step in one fused VMEM pass.
+
+    board, goals: (H, W, B) uint16 with B % 128 == 0.
+    spawn_prob: (B,) float32.  seed: () int32 (vary per step!).
+    """
+    h, w, b = board.shape
+    assert b % LANES == 0, f"batch {b} must be a multiple of {LANES}"
+    grid = (b // LANES,)
+    board_spec = pl.BlockSpec((h, w, LANES), lambda i: (0, 0, i),
+                              memory_space=pltpu.VMEM)
+    prob_spec = pl.BlockSpec((1, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((h, w, b), jnp.uint16)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            prob_spec,
+            board_spec, board_spec,
+        ],
+        out_specs=(board_spec, board_spec),
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1),
+      jnp.asarray(spawn_prob, jnp.float32).reshape(1, b),
+      board, goals)
+
+
+def available(batch_size=None):
+    """True when the fused kernel can run here (TPU + lane-aligned batch)."""
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    return on_tpu and (batch_size is None or batch_size % LANES == 0)

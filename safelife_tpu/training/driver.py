@@ -1,0 +1,222 @@
+"""Training driver: env factory, train loop, checkpointing, logging.
+
+Capability parity with ``training/safelife_ppo.py`` (SafeLife-specific
+hyperparameters, wrapped env factory, checkpoint/restore incl. global
+counters) and the outer loop of ``training/ppo.py:550-559`` — redesigned
+around the fused on-device train step: the Python loop only dispatches
+jitted ``train_batch`` calls, flushes episode logs, and checkpoints.
+
+Checkpointing uses orbax (sharded-array-aware, multi-host safe): params,
+optimizer state, update step, global env counters and the training RNG key
+are saved; on restore the env state is rebuilt from the level bank and the
+global counters are resynced (the reference does the same for its
+``global_counter``, ``safelife_ppo.py:88-106``).
+"""
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..env.env import BatchedSafeLifeEnv, EnvConfig
+from ..env import wrappers as W
+from ..levels import loader
+from ..metrics.logging import (
+    EpisodeLogger, log_training_metrics, make_summary_writer)
+from .model import SafeLifeCNN
+from .ppo import PPO, PPOConfig, TrainState, init_train_state
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    num_envs: int = 16
+    total_steps: int = 6_000_000
+    report_every: int = 25_000       # env steps between metric flushes
+    save_every: int = 500_000        # env steps between checkpoints
+    view_shape: Tuple[int, int] = (33, 33)
+    time_limit: int = 1000
+    impact_penalty: Any = 0.0        # schedulable
+    min_performance: Any = 0.01      # schedulable
+    movement_bonus: float = 0.1
+    seed: int = 0
+    logdir: Optional[str] = None
+    max_checkpoints: int = 3
+
+
+def make_training_env(cfg: TrainerConfig):
+    """The reference's training wrapper stack (safelife_ppo.py:111-139):
+    base env (33x33 view) -> MovementBonus -> SideEffectPenalty ->
+    Continuing.  (Recording is host-side; see metrics/ and benchmarking.)"""
+    env = BatchedSafeLifeEnv(EnvConfig(
+        view_shape=cfg.view_shape, time_limit=cfg.time_limit))
+    env = W.MovementBonusWrapper(env, movement_bonus=cfg.movement_bonus)
+    env = W.SideEffectPenaltyWrapper(
+        env, penalty_coef=cfg.impact_penalty,
+        min_performance=cfg.min_performance)
+    return W.ContinuingWrapper(env)
+
+
+class Trainer:
+    """Owns the training loop for one PPO run."""
+
+    def __init__(self, trainer_cfg: TrainerConfig,
+                 ppo_cfg: PPOConfig = PPOConfig(),
+                 bank=None,
+                 level_paths: Sequence[str] = ("benchmarks/v1.0/append-still.npz",),
+                 net=None, env=None, level_names=None):
+        self.cfg = trainer_cfg
+        self.ppo_cfg = ppo_cfg
+        self.bank = bank if bank is not None else loader.load_bank(*level_paths)
+        self.level_names = level_names
+        self.env = env if env is not None else make_training_env(trainer_cfg)
+        self.net = net or SafeLifeCNN(num_actions=9, n_gamma=ppo_cfg.n_gamma)
+        self.ppo = PPO(ppo_cfg, self.net, self.env)
+
+        key = jax.random.PRNGKey(trainer_cfg.seed)
+        self.key, k_init, k_reset = jax.random.split(key, 3)
+        self.env_state = self.env.reset_all(
+            self.bank, trainer_cfg.num_envs, k_reset)
+        self.obs = self.env.observe(self.env_state)
+        self.train_state = init_train_state(
+            ppo_cfg, self.net, self.obs.shape[1:], k_init, self.ppo.tx)
+
+        self.writer = make_summary_writer(trainer_cfg.logdir)
+        self.episode_logger = EpisodeLogger(
+            os.path.join(trainer_cfg.logdir, "training.yaml")
+            if trainer_cfg.logdir else None,
+            summary_writer=self.writer)
+        self._ckpt_mgr = None
+        self._steps_offset = 0  # counters restored from checkpoint
+
+    # -- checkpointing -----------------------------------------------------
+
+    @property
+    def checkpoint_manager(self):
+        if self._ckpt_mgr is None and self.cfg.logdir:
+            import orbax.checkpoint as ocp
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(os.path.join(self.cfg.logdir, "checkpoints")),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.cfg.max_checkpoints, create=True))
+        return self._ckpt_mgr
+
+    def global_step(self):
+        return int(W.unwrap(self.env_state).num_steps) + self._steps_offset
+
+    def save_checkpoint(self):
+        mgr = self.checkpoint_manager
+        if mgr is None:
+            return
+        import orbax.checkpoint as ocp
+        core = W.unwrap(self.env_state)
+        payload = {
+            "train_state": self.train_state,
+            "key": self.key,
+            "counters": {
+                "num_steps": core.num_steps + self._steps_offset,
+                "episodes_started": core.episodes_started,
+                "episodes_completed": core.episodes_completed,
+            },
+        }
+        mgr.save(self.global_step(), args=ocp.args.StandardSave(payload))
+        mgr.wait_until_finished()  # orbax saves async; commit before return
+        logger.info("saved checkpoint at step %d", self.global_step())
+
+    def restore_checkpoint(self, step=None):
+        mgr = self.checkpoint_manager
+        if mgr is None or mgr.latest_step() is None:
+            return False
+        import orbax.checkpoint as ocp
+        step = step if step is not None else mgr.latest_step()
+        template = {
+            "train_state": self.train_state,
+            "key": self.key,
+            "counters": {
+                "num_steps": jnp.int32(0),
+                "episodes_started": jnp.int32(0),
+                "episodes_completed": jnp.int32(0),
+            },
+        }
+        payload = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        self.train_state = payload["train_state"]
+        self.key = payload["key"]
+        # Resync global counters into the fresh env state (reference:
+        # safelife_ppo.py:88-106).
+        core = W.unwrap(self.env_state)
+        self._steps_offset = int(payload["counters"]["num_steps"])
+        core = core.replace(
+            num_steps=jnp.int32(0),
+            episodes_started=payload["counters"]["episodes_started"],
+            episodes_completed=payload["counters"]["episodes_completed"])
+        self.env_state = W.replace_core(self.env_state, core)
+        logger.info("restored checkpoint from step %d", step)
+        return True
+
+    # -- training ----------------------------------------------------------
+
+    def train(self, total_steps=None, progress_fn: Optional[Callable] = None):
+        total = total_steps or self.cfg.total_steps
+        steps_per_batch = self.ppo_cfg.steps_per_env * self.cfg.num_envs
+        next_report = 0
+        next_save = self.global_step() + self.cfg.save_every
+        t0 = time.time()
+        last_steps, last_t = self.global_step(), t0
+
+        pending_eps = []  # device-side episode stats, flushed at report time
+        while self.global_step() < total:
+            self.key, k = jax.random.split(self.key)
+            (self.train_state, self.env_state, self.obs, metrics) = \
+                self.ppo.train_batch(self.train_state, self.env_state,
+                                     self.obs, self.bank, k)
+            pending_eps.append(metrics.pop("episodes"))
+            step = self.global_step()
+
+            if step >= next_report:
+                metrics = jax.device_get(metrics)
+                eps = jax.device_get(pending_eps)
+                pending_eps = []
+                eps = {k2: np.concatenate([e[k2] for e in eps])
+                       for k2 in eps[0]}
+                self.episode_logger.log_batch(
+                    eps, global_step=step, level_names=self.level_names)
+                log_training_metrics(self.writer, metrics, step)
+                now = time.time()
+                sps = (step - last_steps) / max(now - last_t, 1e-9)
+                last_steps, last_t = step, now
+                if self.writer:
+                    self.writer.add_scalar("perf/env_steps_per_sec", sps, step)
+                logger.info(
+                    "step %d/%d  reward=%.3f  entropy=%.3f  %.0f steps/s",
+                    step, total, float(metrics["mean_reward"]),
+                    float(metrics["entropy"]), sps)
+                if progress_fn:
+                    progress_fn(step, metrics)
+                next_report = step + self.cfg.report_every
+
+            if step >= next_save:
+                self.save_checkpoint()
+                next_save = step + self.cfg.save_every
+
+        self.save_checkpoint()
+        if self.writer:
+            self.writer.flush()
+        logger.info("training done: %d env steps in %.1fs",
+                    self.global_step(), time.time() - t0)
+        return self.train_state
+
+    def policy_fn(self):
+        """Greedy-sampling policy closure for the benchmark runner."""
+        net, params = self.net, self.train_state.params["net"]
+
+        @jax.jit
+        def policy(obs, key):
+            logits, _ = net.apply(params, obs)
+            return jax.random.categorical(key, logits)
+        return policy

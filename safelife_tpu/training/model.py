@@ -40,6 +40,11 @@ class SafeLifeCNN(nn.Module):
                 padding="VALID", kernel_init=ortho(jnp.sqrt(2)),
                 dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
             x = nn.relu(x)
+        if 0 in x.shape[1:3]:
+            raise ValueError(
+                f"view {obs.shape[-3:-1]} too small for the VALID-padded "
+                f"conv trunk (needs >= {min_view_for_net()}); got empty "
+                f"feature map {x.shape}")
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(512, kernel_init=ortho(jnp.sqrt(2)),
                      dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
@@ -84,7 +89,10 @@ class SafeLifeLSTMNet(nn.Module):
 
 
 def min_view_for_net() -> Tuple[int, int]:
-    """Smallest view the VALID-padded trunk accepts (matches reference's
-    33x33 training view; 15x15 default view is for humans/render)."""
-    # (v-5)//2+1 >= 3 after two stride-2 convs and one stride-1 3x3.
-    return (13, 13)
+    """Smallest view the VALID-padded trunk accepts (the reference trains at
+    33x33; its 15x15 default view is for humans/render and would produce an
+    empty feature map here too).
+
+    Chain: v -> (v-5)//2+1 -> (.-3)//2+1 -> (.-3)+1, which needs v >= 17
+    to keep the last feature map non-empty."""
+    return (17, 17)

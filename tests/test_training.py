@@ -1,0 +1,84 @@
+"""Training pipeline smoke tests: the full PPO train step learns on a
+trivial setup, episode stats flow to the logger, and checkpoints
+round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safelife_tpu.env.env import BatchedSafeLifeEnv, EnvConfig
+from safelife_tpu.levels import synth
+from safelife_tpu.training.driver import Trainer, TrainerConfig
+from safelife_tpu.training.model import SafeLifeCNN
+from safelife_tpu.training.ppo import PPOConfig
+
+
+def tiny_trainer(tmpdir=None, **kw):
+    bank = synth.synth_bank(4, h=13, w=13)
+    tc = TrainerConfig(
+        num_envs=8, total_steps=2000, report_every=500, save_every=1000,
+        view_shape=(17, 17), time_limit=30,
+        logdir=str(tmpdir) if tmpdir else None, **kw)
+    pc = PPOConfig(steps_per_env=8, num_minibatches=2, epochs_per_batch=2)
+    return Trainer(tc, pc, bank=bank)
+
+
+def test_train_loop_runs_and_logs(tmp_path):
+    tr = tiny_trainer(tmp_path)
+    seen = []
+    tr.train(total_steps=1500, progress_fn=lambda s, m: seen.append(s))
+    assert tr.global_step() >= 1500
+    assert seen, "progress_fn never called"
+    assert tr.episode_logger.num_episodes > 0, "no episodes completed"
+    # YAML episode log written
+    log = os.path.join(str(tmp_path), "training.yaml")
+    assert os.path.exists(log) and os.path.getsize(log) > 0
+    # metrics are finite
+    assert np.isfinite(float(jnp.sum(
+        sum(jnp.sum(x) for x in jax.tree.leaves(
+            tr.train_state.params["net"])))))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tr = tiny_trainer(tmp_path)
+    tr.train(total_steps=1200)
+    step = tr.global_step()
+    params_before = jax.device_get(tr.train_state.params)
+
+    tr2 = tiny_trainer(tmp_path)
+    assert tr2.restore_checkpoint()
+    assert tr2.global_step() >= 1200
+    params_after = jax.device_get(tr2.train_state.params)
+    jax.tree.map(np.testing.assert_array_equal, params_before, params_after)
+    # Training can continue from the restored state.
+    tr2.train(total_steps=step + 300)
+    assert tr2.global_step() >= step + 300
+
+
+def test_policy_improves_with_dense_reward():
+    """PPO learning smoke test: with a dense movement bonus (reward
+    proportional to speed) on an empty walled board, the learned policy's
+    mean reward must clearly beat the random-policy baseline."""
+    levels = []
+    for i in range(4):
+        lv = synth.simple_level(9, 9, seed=i)
+        lv["board"][(lv["board"] & 1) != 0] = 0  # drop life cells
+        lv["goals"][:] = 0
+        levels.append(lv)
+    from safelife_tpu.levels.loader import build_bank
+    bank = build_bank(levels)
+    tc = TrainerConfig(num_envs=32, view_shape=(17, 17), time_limit=100,
+                       movement_bonus=0.3, seed=1, report_every=2000)
+    pc = PPOConfig(steps_per_env=16, num_minibatches=2, epochs_per_batch=3,
+                   entropy_reg=0.01, learning_rate=1e-3)
+    # Max-speed movement pays 0.3 * speed ** 0.01 ~ 0.3/step; random
+    # actions move the agent less than half the time.
+    tr = Trainer(tc, pc, bank=bank)
+    rewards = []
+    tr.train(total_steps=25_000,
+             progress_fn=lambda s, m: rewards.append(float(m["mean_reward"])))
+    early = np.mean(rewards[:2])
+    late = np.mean(rewards[-2:])
+    assert late > early + 0.01, (early, late)
