@@ -1,0 +1,156 @@
+"""Benchmark runner: evaluate a policy over frozen benchmark suites.
+
+Capability parity with ``safelife/benchmarking.py`` (``run_benchmark``
+over ``benchmarks/v1.0/<name>`` with YAML logging and ``load_benchmarks``
+for analysis), redesigned for lockstep: instead of 10 round-robin host
+envs, ALL levels of the suite run simultaneously as one device batch;
+each level's stats are captured at its first episode end.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .env.env import BatchedSafeLifeEnv, EnvConfig
+from .levels import loader
+
+BENCHMARK_ROOT = "benchmarks/v1.0"
+
+
+def random_policy(num_actions=9):
+    def policy(obs, key):
+        return jax.random.randint(key, (obs.shape[0],), 0, num_actions)
+    return policy
+
+
+def run_benchmark(benchmark_name, policy, logfile=None, key=None,
+                  view_shape=(25, 25), time_limit=1000, chunk=64,
+                  side_effect_samples=0):
+    """Run ``policy(obs, key) -> actions`` over every level of a suite.
+
+    benchmark_name: suite name (e.g. "append-still"), a path, or a
+    prebuilt LevelBank.  Returns a dict of numpy arrays (one entry per
+    level): length, reward, completed, possible, performance  (+
+    side_effects when side_effect_samples > 0).
+    """
+    if isinstance(benchmark_name, str):
+        path = benchmark_name if os.sep in benchmark_name or \
+            benchmark_name.endswith(".npz") else \
+            f"{BENCHMARK_ROOT}/{benchmark_name}.npz"
+        bank = loader.load_bank(path)
+        names = loader.level_names(path)
+    else:
+        bank = benchmark_name
+        names = [f"level-{i}" for i in range(bank.num_levels)]
+
+    env = BatchedSafeLifeEnv(EnvConfig(
+        view_shape=view_shape, time_limit=time_limit, auto_reset=False))
+    n = bank.num_levels
+    key = key if key is not None else jax.random.PRNGKey(0)
+    state = env.reset_to_levels(bank, jnp.arange(n))
+    obs = env.observe(state)
+
+    @jax.jit
+    def run_chunk(state, obs, rec, key):
+        def body(carry, _):
+            state, obs, rec, key = carry
+            key, k_act, k_env = jax.random.split(key, 3)
+            action = policy(obs, k_act)
+            state, ts = env.step(state, bank, action, k_env)
+            newly = ts.done & ~rec["done"]
+            rec = dict(
+                done=rec["done"] | ts.done,
+                length=jnp.where(newly, ts.episode_length, rec["length"]),
+                reward=jnp.where(newly, ts.episode_reward, rec["reward"]),
+                completed=jnp.where(newly, ts.perf_completed,
+                                    rec["completed"]),
+                possible=jnp.where(newly, ts.perf_possible, rec["possible"]),
+            )
+            return (state, obs, rec, key), None
+
+        (state, obs, rec, key), _ = jax.lax.scan(
+            body, (state, obs, rec, key), length=chunk)
+        return state, obs, rec, key
+
+    rec = dict(done=jnp.zeros(n, bool), length=jnp.zeros(n, jnp.int32),
+               reward=jnp.zeros(n, jnp.float32),
+               completed=jnp.zeros(n, jnp.int32),
+               possible=jnp.zeros(n, jnp.int32))
+    t0 = time.time()
+    for _ in range(0, time_limit + chunk, chunk):
+        state, obs, rec, key = run_chunk(state, obs, rec, key)
+        if bool(rec["done"].all()):
+            break
+    rec = jax.device_get(rec)
+
+    results = {
+        "name": names,
+        "length": rec["length"],
+        "reward": rec["reward"],
+        "completed": rec["completed"],
+        "possible": rec["possible"],
+        "performance": rec["completed"] / np.maximum(rec["possible"], 1),
+        "wall_time": time.time() - t0,
+    }
+
+    if side_effect_samples > 0:
+        from .side_effects import side_effect_score_batched
+        core = state
+        scores, mass = side_effect_score_batched(
+            core.init_board, core.board, core.spawn_prob,
+            core.episode_length, key, num_samples=side_effect_samples,
+            catch_up_steps=time_limit)
+        results["side_effects"] = np.asarray(scores).sum(axis=0)
+        results["side_effect_mass"] = np.asarray(mass).sum(axis=0)
+
+    if logfile:
+        os.makedirs(os.path.dirname(os.path.abspath(logfile)), exist_ok=True)
+        with open(logfile, "a") as fh:
+            for i in range(n):
+                entry = {
+                    "name": str(results["name"][i]),
+                    "length": int(results["length"][i]),
+                    "reward": round(float(results["reward"][i]), 3),
+                    "completed": int(results["completed"][i]),
+                    "possible": int(results["possible"][i]),
+                    "performance": round(float(results["performance"][i]), 4),
+                }
+                if "side_effects" in results:
+                    entry["side_effects"] = round(
+                        float(results["side_effects"][i]), 3)
+                items = ", ".join(f"{k}: {v}" for k, v in entry.items())
+                fh.write(f"- {{{items}}}\n")
+    return results
+
+
+def load_benchmarks(logfile):
+    """Parse a benchmark YAML log back into numpy arrays."""
+    import yaml
+
+    with open(logfile) as fh:
+        records = yaml.safe_load(fh) or []
+    if not records:
+        return {}
+    keys = records[0].keys()
+    out = {}
+    for k in keys:
+        vals = [r.get(k) for r in records]
+        out[k] = np.array(vals) if not isinstance(vals[0], str) \
+            else np.array(vals, dtype=object)
+    return out
+
+
+def summarize(results):
+    """One-line human summary of a run_benchmark result dict."""
+    perf = np.asarray(results["performance"], float)
+    line = (f"levels={len(perf)} mean_perf={perf.mean():.3f} "
+            f"median_perf={np.median(perf):.3f} "
+            f"mean_reward={np.mean(results['reward']):.2f} "
+            f"mean_length={np.mean(results['length']):.1f}")
+    if "side_effects" in results:
+        line += f" mean_side_effects={np.mean(results['side_effects']):.3f}"
+    return line
