@@ -48,6 +48,7 @@ class TrainerConfig:
     seed: int = 0
     logdir: Optional[str] = None
     max_checkpoints: int = 3
+    record_videos: bool = False   # capture an episode gif at each checkpoint
 
 
 def make_training_env(cfg: TrainerConfig):
@@ -202,6 +203,7 @@ class Trainer:
 
             if step >= next_save:
                 self.save_checkpoint()
+                self.maybe_record_video()
                 next_save = step + self.cfg.save_every
 
         self.save_checkpoint()
@@ -210,6 +212,19 @@ class Trainer:
         logger.info("training done: %d env steps in %.1fs",
                     self.global_step(), time.time() - t0)
         return self.train_state
+
+    def maybe_record_video(self):
+        if not (self.cfg.record_videos and self.cfg.logdir):
+            return
+        from ..metrics.recording import record_episode, save_trajectory
+        self.key, k = jax.random.split(self.key)
+        traj = record_episode(
+            self.env, self.bank, self.policy_fn(), k,
+            level_idx=int(jax.random.randint(
+                k, (), 0, self.bank.num_levels)),
+            max_steps=self.cfg.time_limit)
+        save_trajectory(traj, os.path.join(
+            self.cfg.logdir, f"episode-{self.global_step()}"))
 
     def policy_fn(self):
         """Greedy-sampling policy closure for the benchmark runner."""
