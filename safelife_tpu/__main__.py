@@ -37,13 +37,17 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="train PPO on SafeLife levels")
     p.add_argument("logdir", help="data directory for logs + checkpoints")
+    p.add_argument("--task", default=None,
+                   help="benchmark task curriculum (append-still, "
+                        "prune-still, append-spawn, prune-spawn, "
+                        "navigation); overrides --levels")
     p.add_argument("--levels", nargs="+",
                    default=["benchmarks/v1.0/append-still.npz"])
     p.add_argument("--num-envs", type=int, default=64)
     p.add_argument("--steps", type=float, default=6e6)
     p.add_argument("--impact-penalty", type=float, default=0.0)
     p.add_argument("--min-performance", type=float, default=0.01)
-    p.add_argument("--view", type=int, default=25)
+    p.add_argument("--view", type=int, default=33)
     p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("bench", help="run a policy over a benchmark suite")
@@ -99,6 +103,15 @@ def cmd_train(args):
         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
     from .training.driver import Trainer, TrainerConfig
     from .training.ppo import PPOConfig
+    if args.task:
+        from .training.curricula import make_curriculum_trainer
+        trainer, total = make_curriculum_trainer(
+            args.task, impact_penalty=args.impact_penalty,
+            logdir=args.logdir, num_envs=args.num_envs, seed=args.seed,
+            view_shape=(args.view, args.view))
+        trainer.restore_checkpoint()
+        trainer.train(min(total, int(args.steps)) if args.steps else None)
+        return
     cfg = TrainerConfig(
         num_envs=args.num_envs, total_steps=int(args.steps),
         view_shape=(args.view, args.view),

@@ -128,6 +128,14 @@ TASKS = {
         "later_regions": "append easy",
         "named_regions": NAMED_REGIONS,
     },
+    "prune-still-easy": {
+        "board_shape": [14, 14],
+        "min_performance": 0.3,
+        "partitioning": {"min_regions": 1, "max_regions": 1},
+        "starting_region": "prune easy",
+        "later_regions": "prune easy",
+        "named_regions": NAMED_REGIONS,
+    },
     "prune-still": {
         "board_shape": [26, 26],
         "min_performance": 0.5,

@@ -1,0 +1,108 @@
+"""Per-task training curricula.
+
+Capability parity with the reference's ``start-training`` launcher
+(``start-training:169-239``): each benchmark task gets scheduled impact
+penalties, scheduled ``min_performance``, a training budget, and — for the
+spawn tasks — a level curriculum that pre-trains on easy static levels
+before switching to stochastic spawn levels (``spawn_loader``,
+``start-training:169-184``).
+
+In the batched world a curriculum is a schedule of level *banks* rather
+than a generator swap; the Trainer swaps the device-resident bank when the
+global step crosses a threshold.
+"""
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+from ..env.wrappers import linear_schedule
+from .driver import Trainer, TrainerConfig
+from .ppo import PPOConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskSpec:
+    total_steps: float
+    impact_penalty_ramp: Tuple[float, float]   # steps over which penalty ramps
+    min_performance_ramp: Optional[Tuple[float, float]]  # None = fixed
+    level_sources: Tuple[Tuple[float, str], ...]  # (start_step, task name)
+
+
+# Schedules mirror start-training:197-236.
+TASKS = {
+    "append-still": TaskSpec(
+        total_steps=10e6,
+        impact_penalty_ramp=(1.0e6, 2.0e6),
+        min_performance_ramp=(1.0e6, 2.0e6),
+        level_sources=((0, "append-still-easy"),),
+    ),
+    "prune-still": TaskSpec(
+        total_steps=6e6,
+        impact_penalty_ramp=(0.5e6, 1.5e6),
+        min_performance_ramp=(0.5e6, 1.5e6),
+        level_sources=((0, "prune-still-easy"),),
+    ),
+    "append-spawn": TaskSpec(
+        total_steps=10e6,
+        impact_penalty_ramp=(2.0e6, 3.5e6),
+        min_performance_ramp=(1.0e6, 2.0e6),
+        level_sources=((0, "append-still-easy"), (2.0e6, "append-spawn")),
+    ),
+    "prune-spawn": TaskSpec(
+        total_steps=6e6,
+        impact_penalty_ramp=(1.5e6, 2.5e6),
+        min_performance_ramp=(0.5e6, 1.5e6),
+        level_sources=((0, "prune-still-easy"), (1.5e6, "prune-spawn")),
+    ),
+    "navigation": TaskSpec(
+        total_steps=6e6,
+        impact_penalty_ramp=(1.0e6, 2.0e6),
+        min_performance_ramp=None,
+        level_sources=((0, "navigation"),),
+    ),
+}
+
+
+def _bank_factory(source, num_levels, seed):
+    from ..procgen import gen_bank
+
+    def make():
+        return gen_bank(source, num_levels=num_levels, seed=seed)
+    return make
+
+
+def make_curriculum_trainer(
+        task, impact_penalty=0.0, logdir=None, num_envs=16,
+        bank_levels=100, seed=0, ppo_cfg: PPOConfig = PPOConfig(),
+        **cfg_overrides) -> Tuple[Trainer, float]:
+    """Build a Trainer configured for one benchmark task.
+
+    Returns (trainer, total_steps).  The level banks are procedurally
+    generated (``bank_levels`` levels each); spawn tasks switch banks at
+    the reference's curriculum thresholds.
+    """
+    spec = TASKS[task]
+    t0, t1 = spec.impact_penalty_ramp
+    penalty_sched = linear_schedule([t0, t1], [0.0, impact_penalty])
+    if spec.min_performance_ramp:
+        m0, m1 = spec.min_performance_ramp
+        min_perf_sched: Any = linear_schedule([m0, m1], [0.01, 0.3])
+    else:
+        min_perf_sched = 0.01
+
+    cfg = TrainerConfig(
+        num_envs=num_envs,
+        total_steps=int(spec.total_steps),
+        impact_penalty=penalty_sched,
+        min_performance=min_perf_sched,
+        seed=seed,
+        logdir=logdir,
+        **cfg_overrides)
+
+    start_step, first = spec.level_sources[0]
+    assert start_step == 0
+    bank = _bank_factory(first, bank_levels, seed)()
+    schedule = [(step, _bank_factory(src, bank_levels, seed + 1))
+                for step, src in spec.level_sources[1:]]
+    trainer = Trainer(cfg, ppo_cfg, bank=bank, bank_schedule=schedule)
+    return trainer, spec.total_steps

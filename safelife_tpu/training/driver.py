@@ -71,7 +71,8 @@ class Trainer:
                  ppo_cfg: PPOConfig = PPOConfig(),
                  bank=None,
                  level_paths: Sequence[str] = ("benchmarks/v1.0/append-still.npz",),
-                 net=None, env=None, level_names=None):
+                 net=None, env=None, level_names=None,
+                 bank_schedule=None, mesh=None):
         self.cfg = trainer_cfg
         self.ppo_cfg = ppo_cfg
         self.bank = bank if bank is not None else loader.load_bank(*level_paths)
@@ -88,6 +89,8 @@ class Trainer:
         self.train_state = init_train_state(
             ppo_cfg, self.net, self.obs.shape[1:], k_init, self.ppo.tx)
 
+        self.mesh = mesh
+        self._shard_all()
         self.writer = make_summary_writer(trainer_cfg.logdir)
         self.episode_logger = EpisodeLogger(
             os.path.join(trainer_cfg.logdir, "training.yaml")
@@ -95,6 +98,25 @@ class Trainer:
             summary_writer=self.writer)
         self._ckpt_mgr = None
         self._steps_offset = 0  # counters restored from checkpoint
+        # Curriculum: [(step_threshold, bank_factory), ...] sorted by step.
+        # When the global step crosses a threshold, the level bank is
+        # swapped and all envs reset (reference start-training's
+        # spawn_loader curriculum, start-training:169-184).
+        self.bank_schedule = sorted(bank_schedule or [], key=lambda x: x[0])
+
+    def _shard_all(self):
+        """Place everything on the data-parallel mesh: env state sharded
+        over 'data', bank + params + rng replicated.  GSPMD propagates the
+        layout through the jitted train step and inserts the gradient
+        all-reduce."""
+        if self.mesh is None:
+            return
+        from ..parallel import mesh as pmesh
+        self.env_state, self.bank = pmesh.shard_env(
+            self.mesh, self.env_state, self.bank)
+        self.obs = pmesh.shard_batch_leading(self.mesh, self.obs)
+        self.train_state = pmesh.replicate(self.mesh, self.train_state)
+        self.key = pmesh.replicate(self.mesh, self.key)
 
     # -- checkpointing -----------------------------------------------------
 
@@ -157,6 +179,7 @@ class Trainer:
             episodes_started=payload["counters"]["episodes_started"],
             episodes_completed=payload["counters"]["episodes_completed"])
         self.env_state = W.replace_core(self.env_state, core)
+        self._shard_all()
         logger.info("restored checkpoint from step %d", step)
         return True
 
@@ -172,6 +195,7 @@ class Trainer:
 
         pending_eps = []  # device-side episode stats, flushed at report time
         while self.global_step() < total:
+            self._maybe_switch_bank()
             self.key, k = jax.random.split(self.key)
             (self.train_state, self.env_state, self.obs, metrics) = \
                 self.ppo.train_batch(self.train_state, self.env_state,
@@ -212,6 +236,22 @@ class Trainer:
         logger.info("training done: %d env steps in %.1fs",
                     self.global_step(), time.time() - t0)
         return self.train_state
+
+    def _maybe_switch_bank(self):
+        while self.bank_schedule and \
+                self.global_step() >= self.bank_schedule[0][0]:
+            _, factory = self.bank_schedule.pop(0)
+            logger.info("curriculum: switching level bank at step %d",
+                        self.global_step())
+            self.bank = factory() if callable(factory) else factory
+            offset = self.global_step()
+            self.key, k = jax.random.split(self.key)
+            self.env_state = self.env.reset_all(
+                self.bank, self.cfg.num_envs, k)
+            self.obs = self.env.observe(self.env_state)
+            # reset_all zeroes the global counters; fold them into offset
+            self._steps_offset = offset
+            self._shard_all()
 
     def maybe_record_video(self):
         if not (self.cfg.record_videos and self.cfg.logdir):

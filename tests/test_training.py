@@ -82,3 +82,47 @@ def test_policy_improves_with_dense_reward():
     early = np.mean(rewards[:2])
     late = np.mean(rewards[-2:])
     assert late > early + 0.01, (early, late)
+
+
+def test_curriculum_bank_switch():
+    """The trainer swaps level banks when the step threshold is crossed."""
+    from safelife_tpu.levels import synth
+    bank_a = synth.synth_bank(2, h=13, w=13)
+    bank_b = synth.synth_bank(2, h=13, w=13, spawners=True)
+    tc = TrainerConfig(num_envs=8, view_shape=(17, 17), time_limit=20,
+                       report_every=10**9, save_every=10**9)
+    pc = PPOConfig(steps_per_env=4, num_minibatches=2, epochs_per_batch=1)
+    tr = Trainer(tc, pc, bank=bank_a,
+                 bank_schedule=[(300, lambda: bank_b)])
+    tr.train(total_steps=700)
+    assert not tr.bank_schedule, "schedule not consumed"
+    assert bool((np.asarray(tr.bank.spawn_prob) > 0).all())
+    assert tr.global_step() >= 700
+
+
+def test_mesh_data_parallel_training():
+    """Full train loop over an 8-device mesh: counters advance, params
+    stay replicated, metrics finite."""
+    from safelife_tpu.levels import synth
+    from safelife_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh()
+    assert mesh.devices.size == 8
+    bank = synth.synth_bank(4, h=13, w=13)
+    tc = TrainerConfig(num_envs=16, view_shape=(17, 17), time_limit=20,
+                       report_every=200, save_every=10**9)
+    pc = PPOConfig(steps_per_env=4, num_minibatches=2, epochs_per_batch=1)
+    with mesh:
+        tr = Trainer(tc, pc, bank=bank, mesh=mesh)
+        rewards = []
+        tr.train(total_steps=600,
+                 progress_fn=lambda s, m: rewards.append(m["mean_reward"]))
+    assert tr.global_step() >= 600
+    assert np.isfinite(rewards).all()
+    # params replicated across all devices
+    leaf = jax.tree.leaves(tr.train_state.params["net"])[0]
+    assert leaf.sharding.is_fully_replicated
+    # env boards sharded over the data axis
+    from safelife_tpu.env.wrappers import unwrap
+    board = unwrap(tr.env_state).board
+    assert not board.sharding.is_fully_replicated
