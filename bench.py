@@ -27,8 +27,8 @@ from safelife_tpu.levels import loader, synth
 
 BASELINE_STEPS_PER_S = 10e6  # north-star from BASELINE.md
 
-BATCH = int(os.environ.get("BENCH_BATCH", 4096))
-STEPS = int(os.environ.get("BENCH_STEPS", 256))
+BATCH = int(os.environ.get("BENCH_BATCH", 16384))
+STEPS = int(os.environ.get("BENCH_STEPS", 160))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
 
 
@@ -46,16 +46,30 @@ def main():
     k_reset, k_run = jax.random.split(key)
     state = env.reset_all(bank, BATCH, k_reset)
 
+    # Fresh reset levels are pre-gathered once per 20-step window — the
+    # training rollout cadence (PPO steps_per_env=20); see
+    # BatchedSafeLifeEnv.sample_fresh_levels.
+    ROLLOUT = 20
+
     @jax.jit
     def run(state, key):
-        def body(carry, _):
+        def outer(carry, _):
             state, key = carry
-            key, k_act, k_env = jax.random.split(key, 3)
-            action = jax.random.randint(k_act, (BATCH,), 0, 9)
-            state, ts = env.step(state, bank, action, k_env)
-            return (state, key), ts.reward.sum()
+            key, k_fresh = jax.random.split(key)
+            fresh = env.sample_fresh_levels(bank, BATCH, k_fresh)
+
+            def body(carry, _):
+                state, key = carry
+                key, k_act, k_env = jax.random.split(key, 3)
+                action = jax.random.randint(k_act, (BATCH,), 0, 9)
+                state, ts = env.step(state, bank, action, k_env,
+                                     fresh_levels=fresh)
+                return (state, key), ts.reward.sum()
+            (state, key), rewards = jax.lax.scan(
+                body, (state, key), length=ROLLOUT)
+            return (state, key), rewards.sum()
         (state, key), rewards = jax.lax.scan(
-            body, (state, key), length=STEPS)
+            outer, (state, key), length=STEPS // ROLLOUT)
         return state, key, rewards.sum()
 
     # Warmup / compile.
@@ -68,7 +82,7 @@ def main():
         jax.block_until_ready(r)
         best = min(best, time.perf_counter() - t0)
 
-    steps_per_s = BATCH * STEPS / best
+    steps_per_s = BATCH * (STEPS // ROLLOUT) * ROLLOUT / best
     print(json.dumps({
         "metric": "env_steps_per_sec",
         "value": round(steps_per_s),

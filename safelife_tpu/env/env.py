@@ -23,7 +23,7 @@ from flax import struct
 
 from .. import cells as C
 from ..ops import agent as agent_ops
-from ..ops import life, life_pallas, obs as obs_ops, scoring
+from ..ops import env_step_pallas, life, life_pallas, obs as obs_ops, scoring
 from .state import EnvState, LevelBank
 
 ACTION_NAMES = (
@@ -162,13 +162,31 @@ class BatchedSafeLifeEnv:
 
     # -- step ------------------------------------------------------------
 
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def sample_fresh_levels(self, bank: LevelBank, batch_size: int, key):
+        """Pre-gather one fresh level per env for upcoming auto-resets.
+
+        The per-step bank gather is the single most expensive part of an
+        auto-resetting step (a (H, W, B) gather costs ~10x the CA advance);
+        sampling the *next* level for every env once per rollout and
+        passing it to :meth:`step` as ``fresh_levels`` amortizes it over
+        the rollout length.  An env that resets twice within one rollout
+        replays the same (randomly chosen) level — statistically harmless
+        for training; leave ``fresh_levels=None`` for exact per-step
+        resampling.
+        """
+        idx = jax.random.randint(key, (batch_size,), 0, bank.num_levels)
+        return idx, self._fresh_state_fields(bank, idx)
+
     @partial(jax.jit, static_argnames=("self",))
     def step(self, state: EnvState, bank: LevelBank, action, key,
-             spawn_board=None, spawn_goals=None):
+             spawn_board=None, spawn_goals=None, fresh_levels=None):
         """Advance all B environments one step.
 
         ``spawn_board`` / ``spawn_goals`` override the on-device spawn
         randomness with precomputed boolean fields (bit-exact parity path).
+        ``fresh_levels`` (from :meth:`sample_fresh_levels`) supplies the
+        pre-gathered reset levels for the fast path.
         """
         cfg = self.config
         prev_done = state.episode_done
@@ -181,23 +199,36 @@ class BatchedSafeLifeEnv:
         ce0 = scoring.can_exit(
             state.perf_completed, state.perf_possible, state.min_performance)
 
-        act = agent_ops.execute_action(
-            state.board, state.agent_row, state.agent_col,
-            state.orientation, action, ce0, prev_over,
-            cfg.points_on_level_exit,
-            cfg.can_toggle_powers, cfg.can_toggle_colors)
-        game_over = prev_over | act.exited
-
         k_board, k_goals, k_reset = jax.random.split(key, 3)
-        if (spawn_board is None and spawn_goals is None and cfg.use_pallas
-                and life_pallas.available(state.batch_size)):
-            # Fast path: fused Pallas kernel (board + goals, one VMEM pass,
-            # in-core PRNG).  Parity path below takes precomputed fields.
+        fused = (spawn_board is None and spawn_goals is None
+                 and cfg.use_pallas and life_pallas.available(state.batch_size)
+                 and not cfg.can_toggle_powers and not cfg.can_toggle_colors)
+        if fused:
+            # Fast path: one fused Pallas kernel does action + both CA
+            # advances (in-core PRNG) + scoring + exit recolor in a single
+            # VMEM pass.  The XLA path below is the reference semantics
+            # (CPU, parity mode with precomputed spawn fields, toggle
+            # powers/colors) and the two are tested equal.
             seed = jax.random.randint(
                 k_board, (), 0, jnp.int32(2**31 - 1), dtype=jnp.int32)
-            board, goals = life_pallas.advance_both(
-                act.board, state.goals, state.spawn_prob, seed)
+            (board, goals, agent_row, agent_col, orientation, exited,
+             points, comp1, poss1, ce1) = env_step_pallas.fused_step(
+                state.board, state.goals, state.init_board, action,
+                state.agent_row, state.agent_col, state.orientation,
+                prev_over, ce0, state.baseline_score,
+                state.spawn_prob, state.min_performance, seed,
+                static_goals=bank.static_goals)
+            exit_reward = exited.astype(jnp.float32) * jnp.float32(
+                cfg.points_on_level_exit)
+            act = agent_ops.ActionResult(
+                board=None, agent_row=agent_row, agent_col=agent_col,
+                orientation=orientation, exited=exited, reward=exit_reward)
         else:
+            act = agent_ops.execute_action(
+                state.board, state.agent_row, state.agent_col,
+                state.orientation, action, ce0, prev_over,
+                cfg.points_on_level_exit,
+                cfg.can_toggle_powers, cfg.can_toggle_colors)
             if spawn_board is None:
                 u = jax.random.uniform(k_board, state.board.shape, jnp.float32)
                 spawn_board = u < state.spawn_prob[None, None, :]
@@ -205,17 +236,16 @@ class BatchedSafeLifeEnv:
                 u = jax.random.uniform(k_goals, state.goals.shape, jnp.float32)
                 spawn_goals = u < state.spawn_prob[None, None, :]
             board = life.advance_board(act.board, spawn_board)
-            goals = life.advance_board(state.goals, spawn_goals)
+            goals = state.goals if bank.static_goals else \
+                life.advance_board(state.goals, spawn_goals)
+            points = scoring.current_points(board, goals)
+            comp1, poss1 = scoring.performance_ratio(
+                board, goals, state.baseline_score)
+            ce1 = scoring.can_exit(comp1, poss1, state.min_performance)
+            board = _recolor_exits(board, state.init_board, ce1)
 
-        points = scoring.current_points(board, goals)
+        game_over = prev_over | act.exited
         reward = act.reward + (points - state.points_last).astype(jnp.float32)
-
-        # Exit recoloring with the post-advance performance.
-        comp1, poss1 = scoring.performance_ratio(
-            board, goals, state.baseline_score)
-        ce1 = scoring.can_exit(comp1, poss1, state.min_performance)
-        board = _recolor_exits(board, state.init_board, ce1)
-
         episode_length = state.episode_length + 1
         episode_reward = state.episode_reward + reward
         times_up = episode_length > cfg.time_limit
@@ -237,9 +267,13 @@ class BatchedSafeLifeEnv:
 
         new_state = mid
         if cfg.auto_reset:
-            idx = self._next_level_idx(
-                bank.num_levels, state.batch_size, state.reset_count, k_reset)
-            fresh = self._fresh_state_fields(bank, idx)
+            if fresh_levels is not None and not cfg.sequential_levels:
+                idx, fresh = fresh_levels
+            else:
+                idx = self._next_level_idx(
+                    bank.num_levels, state.batch_size, state.reset_count,
+                    k_reset)
+                fresh = self._fresh_state_fields(bank, idx)
             new_state = _select_reset(mid, fresh, done)
             new_state = new_state.replace(
                 reset_count=mid.reset_count + done.astype(jnp.int32),

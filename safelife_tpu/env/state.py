@@ -43,6 +43,11 @@ class LevelBank(struct.PyTreeNode):
     possible0: Any    # (N,) int32 — possible_score(goals) - baseline
     points0: Any      # (N,) int32 — current_points of the raw level
     can_exit0: Any    # (N,) bool — exit gate open at reset
+    # True when every level's goal board is a spawner-free CA fixed point:
+    # advancing it is the identity, so the env step skips the goals CA
+    # entirely (all the *-still benchmark suites).  Static (not a pytree
+    # leaf) so jitted steps specialize on it.
+    static_goals: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_levels(self):

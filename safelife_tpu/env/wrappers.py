@@ -84,8 +84,8 @@ class Wrapper:
     def reset_to_levels(self, bank, idx):
         return self.env.reset_to_levels(bank, idx)
 
-    def step(self, state, bank, action, key):
-        return self.env.step(state, bank, action, key)
+    def step(self, state, bank, action, key, **kw):
+        return self.env.step(state, bank, action, key, **kw)
 
 
 def unwrap(state):
@@ -121,8 +121,8 @@ class ContinuingWrapper(Wrapper):
     (the core env has already auto-reset).  Reference
     ``env_wrappers.py:289-303``."""
 
-    def step(self, state, bank, action, key):
-        state, ts = self.env.step(state, bank, action, key)
+    def step(self, state, bank, action, key, **kw):
+        state, ts = self.env.step(state, bank, action, key, **kw)
         return state, ts.replace(done=ts.times_up)
 
 
@@ -164,10 +164,10 @@ class MovementBonusWrapper(Wrapper):
         inner = self.env.reset_to_levels(bank, idx)
         return WrapperState(inner=inner, extra=self._fresh(inner))
 
-    def step(self, state, bank, action, key):
+    def step(self, state, bank, action, key, **kw):
         n = self.period
         ex = state.extra
-        inner, ts = self.env.step(state.inner, bank, action, key)
+        inner, ts = self.env.step(state.inner, bank, action, key, **kw)
         mid = ts.state_before_reset
         p0r, p0c = mid.agent_row, mid.agent_col
 
@@ -258,8 +258,8 @@ class SideEffectPenaltyWrapper(Wrapper):
         non_effects = unchanged | (start_red & ~end_red) | (goal_cell & end_alive)
         return (~non_effects).sum(axis=(0, 1)).astype(jnp.int32)
 
-    def step(self, state, bank, action, key):
-        inner, ts = self.env.step(state.inner, bank, action, key)
+    def step(self, state, bank, action, key, **kw):
+        inner, ts = self.env.step(state.inner, bank, action, key, **kw)
         mid = ts.state_before_reset
         effect = self.side_effect_count(mid.board, mid.init_board, mid.goals)
         delta = (effect - state.extra["last_side_effect"]).astype(jnp.float32)

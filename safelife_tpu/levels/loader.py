@@ -23,6 +23,7 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
+from .. import cells as C
 from ..env.state import LevelBank
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -141,7 +142,19 @@ def build_bank(levels, max_exits=4):
     stack = lambda key: jnp.asarray(
         np.stack([lv[key] for lv in levels], axis=-1))
 
+    from ..ops import life_numpy
+
     exits = [find_exits_np(lv["board"], max_exits) for lv in levels]
+    # Goals are "static" when advancing them is the identity for every
+    # level (no spawners, CA fixed point) — lets the env skip the goals
+    # advance entirely.
+    static_goals = all(
+        not (lv["goals"] & C.SPAWNING).any()
+        and np.array_equal(
+            life_numpy.advance_board_reference(
+                lv["goals"], 0.0, rand_field=np.ones(lv["goals"].shape)),
+            lv["goals"])
+        for lv in levels)
     board_np = np.stack([lv["board"] for lv in levels], axis=-1)
     goals_np = np.stack([lv["goals"] for lv in levels], axis=-1)
     # numpy scoring twins reduce over the last two axes; ours are (H, W, N),
@@ -169,6 +182,7 @@ def build_bank(levels, max_exits=4):
         possible0=jnp.asarray(possible0),
         points0=jnp.asarray(points0),
         can_exit0=jnp.asarray(can_exit0),
+        static_goals=bool(static_goals),
     )
 
 

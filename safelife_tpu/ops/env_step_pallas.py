@@ -1,0 +1,251 @@
+"""Fused Pallas TPU kernel for the full environment step core.
+
+One VMEM-resident kernel per 128-env block computes the hot path of
+``BatchedSafeLifeEnv.step``:
+
+* agent action execution (move with push/pull, toggle create/destroy, exit
+  detection): the reference's branchy per-board Python
+  (``safelife_game.py:294-393``) as per-lane masked selects — the four
+  agent-neighborhood cell reads arrive precomputed from XLA (a tiny
+  take_along_axis is ~400x cheaper than in-kernel masked reductions),
+* the CA advance of BOTH board and goals with in-core PRNG spawn sampling
+  (``advance_board.c``); the goals advance is skipped entirely for banks
+  whose goal boards are CA fixed points (all the *-still suites),
+* goal scoring (``safelife_game.py:554-631``) with the per-cell point
+  value computed by ONE select-chain — the performance sign is
+  ``sign(points)`` per cell and the max-possible unit reward is a goal-
+  color range test, halving the scoring arithmetic,
+* exit recoloring from the fresh performance gate
+  (``safelife_game.py:522-537``).
+
+The XLA expression of the same math (ops/agent.py, ops/life.py,
+ops/scoring.py) materializes every stencil shift and mask in HBM; this
+kernel reads board/goals/init_board once and writes board/goals once.  The
+XLA path remains the reference implementation (CPU, bit-exact parity mode)
+and the two are tested equal.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import cells as C
+from .life_pallas import LANES, _advance_block, _spawn_field
+from .scoring import _POINTS_FLAT
+
+_DR = (-1, 0, 1, 0)
+_DC = (0, 1, 0, -1)
+
+# sign(POINT_TABLE).max(axis=1) is 1 exactly for the six "real" goal colors
+# and 0 for black/white — the possible-score lookup is a range test.
+assert list(np.sign(C.POINT_TABLE).max(axis=1)) == [0, 1, 1, 1, 1, 1, 1, 0]
+
+
+def _select_by_orient(o, table):
+    out = jnp.int32(table[0])
+    for k in (1, 2, 3):
+        out = jnp.where(o == k, jnp.int32(table[k]), out)
+    return out
+
+
+def _points_chain(idx):
+    out = jnp.zeros_like(idx)
+    for k, v in enumerate(np.asarray(_POINTS_FLAT).reshape(-1)):
+        if v:
+            out = out + jnp.int32(int(v)) * (idx == k)
+    return out
+
+
+def _action_kernel(si_ref, board_ref, out_board_ref, out_i_ref):
+    h, w, lanes = board_ref.shape
+    board = board_ref[:].astype(jnp.int32)
+
+    action = si_ref[0, :]
+    agent_r = si_ref[1, :]
+    agent_c = si_ref[2, :]
+    orient = si_ref[3, :]
+    game_over = si_ref[4, :]
+    can_exit0 = si_ref[5, :]
+
+    # ---- action decode + move/toggle logic (per-lane scalars) -----------
+    act_dir = (action - 1) % 4
+    is_move = (action >= 1) & (action <= 4) & (game_over == 0)
+    is_toggle = (action >= 5) & (action <= 8) & (game_over == 0)
+    new_orient = jnp.where(is_move | is_toggle, act_dir, orient)
+    dr = _select_by_orient(new_orient, _DR)
+    dc = _select_by_orient(new_orient, _DC)
+    r0, c0 = agent_r, agent_c
+    r1, c1 = (r0 + dr) % h, (c0 + dc) % w
+    r2, c2 = (r0 - dr) % h, (c0 - dc) % w
+    r3, c3 = (r0 + 2 * dr) % h, (c0 + 2 * dc) % w
+
+    # The four agent-neighborhood reads, as masked reductions (a separate
+    # XLA gather would be cheaper as an op, but every extra op in the step
+    # costs a dispatch; keeping them in-kernel wins overall).
+    r_iota0 = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 0)
+    c_iota0 = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 1)
+
+    def gather(r, c):
+        m = (r_iota0 == r[None, None, :]) & (c_iota0 == c[None, None, :])
+        return jnp.sum(jnp.where(m, board, 0), axis=(0, 1))
+
+    v0 = gather(r0, c0)
+    v1 = gather(r1, c1)
+    v2 = gather(r2, c2)
+    v3 = gather(r3, c3)
+
+    front_empty = v1 == 0
+    front_exit = ~front_empty & ((v1 & C.EXIT) != 0) & (can_exit0 != 0)
+    pushable = ~front_empty & ~front_exit & ((v1 & C.PUSHABLE) != 0)
+    push_to_empty = pushable & (v3 == 0)
+    push_out_exit = pushable & (v3 != 0) & ((v3 & C.EXIT) != 0)
+    moved = is_move & (front_empty | push_to_empty | push_out_exit)
+    exited = is_move & front_exit
+    pulled = moved & ((v2 & C.PULLABLE) != 0)
+
+    player_color = v0 & C.COLORS
+    tgl_create = is_toggle & (v1 == 0)
+    tgl_destroy = is_toggle & (v1 != 0) & ((v1 & C.DESTRUCTIBLE) != 0)
+
+    # ---- masked writes (select chain; masks recomputed inline) ----------
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 1)
+
+    def cell_mask(r, c):
+        return (r_iota == r[None, None, :]) & (c_iota == c[None, None, :])
+
+    p1_val = jnp.where(moved, v0,
+                       jnp.where(tgl_create, C.LIFE | player_color, 0))
+    p0_val = jnp.where(pulled, v2, 0)
+    board = jnp.where(
+        cell_mask(r3, c3) & (is_move & push_to_empty)[None, None, :],
+        v1[None, None, :], board)
+    board = jnp.where(
+        cell_mask(r1, c1) & (moved | tgl_create | tgl_destroy)[None, None, :],
+        p1_val[None, None, :], board)
+    board = jnp.where(cell_mask(r2, c2) & pulled[None, None, :], 0, board)
+    board = jnp.where(cell_mask(r0, c0) & moved[None, None, :],
+                      p0_val[None, None, :], board)
+
+    out_board_ref[:] = board.astype(jnp.uint16)
+    out_i_ref[0, :] = jnp.where(moved, r1, r0)
+    out_i_ref[1, :] = jnp.where(moved, c1, c0)
+    out_i_ref[2, :] = new_orient
+    out_i_ref[3, :] = exited.astype(jnp.int32)
+
+
+def _advance_kernel(seed_ref, si_ref, sf_ref, board_ref, goals_ref, init_ref,
+                    out_board_ref, out_goals_ref, out_i_ref, *, static_goals):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    h, w, lanes = board_ref.shape
+    baseline = si_ref[6, :]
+    spawn_prob = sf_ref[0, :]
+    min_perf = sf_ref[1, :]
+
+    # ---- CA advance -------------------------------------------------------
+    thresh24 = (spawn_prob * jnp.float32(1 << 24)).astype(jnp.int32)
+    board = _advance_block(
+        board_ref[:].astype(jnp.int32),
+        _spawn_field((h, w, lanes), thresh24[None, None, :]))
+    if static_goals:
+        goals = goals_ref[:].astype(jnp.int32)
+    else:
+        goals = _advance_block(
+            goals_ref[:].astype(jnp.int32),
+            _spawn_field((h, w, lanes), thresh24[None, None, :]))
+
+    # ---- scoring ------------------------------------------------------------
+    alive = (board & 1) != 0
+    gc = (goals >> C.COLOR_BIT) & 7
+    idx = gc * 8 + ((board >> C.COLOR_BIT) & 7)
+    pts_cell = _points_chain(idx)
+    points = jnp.sum(jnp.where(alive, pts_cell, 0), axis=(0, 1))
+    frozen_immov = (board & (C.FROZEN | C.PUSHABLE | C.PULLABLE)) == C.FROZEN
+    perf_mask = alive & ~frozen_immov
+    sign_cell = jnp.sign(pts_cell)
+    score = jnp.sum(jnp.where(perf_mask, sign_cell, 0), axis=(0, 1))
+    possible = jnp.sum(((gc != 0) & (gc != 7)).astype(jnp.int32), axis=(0, 1))
+    comp = score - baseline
+    poss = possible - baseline
+
+    # ---- exit recolor ---------------------------------------------------------
+    ce1 = (min_perf < 0) | (comp.astype(jnp.float32)
+                            >= min_perf * poss.astype(jnp.float32))
+    exit_mask = (init_ref[:].astype(jnp.int32) & C.EXIT) != 0
+    exit_cell = jnp.where(ce1, C.LEVEL_EXIT | C.COLOR_R, C.LEVEL_EXIT)
+    board = jnp.where(exit_mask, exit_cell[None, None, :], board)
+
+    out_board_ref[:] = board.astype(jnp.uint16)
+    if static_goals:
+        out_goals_ref[:] = goals_ref[:]
+    else:
+        out_goals_ref[:] = goals.astype(jnp.uint16)
+    out_i_ref[0, :] = points
+    out_i_ref[1, :] = comp
+    out_i_ref[2, :] = poss
+    out_i_ref[3, :] = ce1.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("interpret", "static_goals"))
+def fused_step(board, goals, init_board, action, agent_row, agent_col,
+               orientation, game_over, can_exit0, baseline_score,
+               spawn_prob, min_performance, seed, interpret=False,
+               static_goals=False):
+    """Run the fused env-step core.  All per-env args are (B,) with
+    B % 128 == 0; boards are (H, W, B) uint16.
+
+    Returns (board', goals', agent_row', agent_col', orientation', exited,
+    points, perf_completed, perf_possible, can_exit1).
+    """
+    h, w, b = board.shape
+    assert b % LANES == 0, f"batch {b} must be a multiple of {LANES}"
+    grid = (b // LANES,)
+    board_spec = pl.BlockSpec((h, w, LANES), lambda i: (0, 0, i),
+                              memory_space=pltpu.VMEM)
+    lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    si = jnp.stack([
+        jnp.asarray(action, jnp.int32), jnp.asarray(agent_row, jnp.int32),
+        jnp.asarray(agent_col, jnp.int32),
+        jnp.asarray(orientation, jnp.int32),
+        game_over.astype(jnp.int32), can_exit0.astype(jnp.int32),
+        jnp.asarray(baseline_score, jnp.int32),
+        jnp.zeros(b, jnp.int32)])
+    sf = jnp.stack([jnp.asarray(spawn_prob, jnp.float32),
+                    jnp.asarray(min_performance, jnp.float32)])
+
+    board1, act_i = pl.pallas_call(
+        _action_kernel,
+        grid=grid,
+        in_specs=[lane_spec(8), board_spec],
+        out_specs=(board_spec, lane_spec(4)),
+        out_shape=(jax.ShapeDtypeStruct((h, w, b), jnp.uint16),
+                   jax.ShapeDtypeStruct((4, b), jnp.int32)),
+        interpret=interpret,
+    )(si, board)
+
+    out_board, out_goals, adv_i = pl.pallas_call(
+        partial(_advance_kernel, static_goals=static_goals),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            lane_spec(8), lane_spec(2), board_spec, board_spec, board_spec,
+        ],
+        out_specs=(board_spec, board_spec, lane_spec(4)),
+        out_shape=(jax.ShapeDtypeStruct((h, w, b), jnp.uint16),
+                   jax.ShapeDtypeStruct((h, w, b), jnp.uint16),
+                   jax.ShapeDtypeStruct((4, b), jnp.int32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), si, sf,
+      board1, goals, init_board)
+
+    return (out_board, out_goals, act_i[0], act_i[1], act_i[2],
+            act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
+            adv_i[3].astype(bool))

@@ -113,6 +113,17 @@ def rollout(cfg: PPOConfig, net, env, bank, params, env_state, obs, key):
     wrappers live in safelife_tpu.env.wrappers).
     Returns (env_state, obs, Trajectory).
     """
+    key, k_fresh = jax.random.split(key)
+    fresh = None
+    if getattr(env.config, "auto_reset", False):
+        # Pre-gather this rollout's reset levels once (see
+        # BatchedSafeLifeEnv.sample_fresh_levels).
+        batch = jax.tree.leaves(env_state)[0].shape[-1]
+        core_env = env
+        while not hasattr(core_env, "sample_fresh_levels"):
+            core_env = core_env.env  # descend the wrapper chain
+        fresh = core_env.sample_fresh_levels(bank, batch, k_fresh)
+
     def policy_step(carry, _):
         env_state, obs, key = carry
         key, k_act, k_env = jax.random.split(key, 3)
@@ -120,7 +131,8 @@ def rollout(cfg: PPOConfig, net, env, bank, params, env_state, obs, key):
         action = jax.random.categorical(k_act, logits)
         probs = jax.nn.softmax(logits)
         old_pi = jnp.take_along_axis(probs, action[:, None], axis=1)[:, 0]
-        new_env_state, ts = env.step(env_state, bank, action, k_env)
+        new_env_state, ts = env.step(env_state, bank, action, k_env,
+                                     fresh_levels=fresh)
         reward = ts.reward
         stats = dict(done=ts.done, times_up=ts.times_up,
                      episode_length=ts.episode_length,
