@@ -125,15 +125,16 @@ def cmd_train(args):
 
 def cmd_bench(args):
     from . import benchmarking as B
+    view = None
     if args.policy == "random":
         policy = B.random_policy()
     else:
-        raise SystemExit(
-            "checkpoint policies: use safelife_tpu.training.driver.Trainer"
-            ".policy_fn() programmatically (CLI support pending)")
+        from .training.driver import load_policy
+        policy, view = load_policy(args.policy)
+    kw = {"view_shape": view} if view else {}
     results = B.run_benchmark(
         args.suite, policy, logfile=args.logfile,
-        side_effect_samples=args.side_effects)
+        side_effect_samples=args.side_effects, **kw)
     print(B.summarize(results))
 
 

@@ -91,6 +91,8 @@ class Trainer:
 
         self.mesh = mesh
         self._shard_all()
+        if trainer_cfg.logdir:
+            self._write_run_config()
         self.writer = make_summary_writer(trainer_cfg.logdir)
         self.episode_logger = EpisodeLogger(
             os.path.join(trainer_cfg.logdir, "training.yaml")
@@ -103,6 +105,19 @@ class Trainer:
         # swapped and all envs reset (reference start-training's
         # spawn_loader curriculum, start-training:169-184).
         self.bank_schedule = sorted(bank_schedule or [], key=lambda x: x[0])
+
+    def _write_run_config(self):
+        """Persist what's needed to rebuild the policy from the logdir
+        (see load_policy)."""
+        import json
+        os.makedirs(self.cfg.logdir, exist_ok=True)
+        with open(os.path.join(self.cfg.logdir, "config.json"), "w") as fh:
+            json.dump({
+                "view_shape": list(self.cfg.view_shape),
+                "n_gamma": self.ppo_cfg.n_gamma,
+                "num_actions": 9,
+                "time_limit": self.cfg.time_limit,
+            }, fh)
 
     def _shard_all(self):
         """Place everything on the data-parallel mesh: env state sharded
@@ -275,3 +290,32 @@ class Trainer:
             logits, _ = net.apply(params, obs)
             return jax.random.categorical(key, logits)
         return policy
+
+
+def load_policy(logdir):
+    """Rebuild a sampling policy from a training logdir.
+
+    Returns (policy_fn(obs, key) -> actions, view_shape).
+    """
+    import json
+
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(logdir, "config.json")) as fh:
+        run_cfg = json.load(fh)
+    net = SafeLifeCNN(num_actions=run_cfg.get("num_actions", 9),
+                      n_gamma=run_cfg.get("n_gamma", 1))
+    mgr = ocp.CheckpointManager(
+        os.path.abspath(os.path.join(logdir, "checkpoints")))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {logdir}")
+    payload = mgr.restore(step)
+    params = payload["train_state"]["params"]["net"]
+
+    @jax.jit
+    def policy(obs, key):
+        logits, _ = net.apply(params, obs)
+        return jax.random.categorical(key, logits)
+
+    return policy, tuple(run_cfg["view_shape"])

@@ -321,3 +321,162 @@ class PPO:
             params=params, opt_state=opt_state,
             update_step=train_state.update_step + 1)
         return train_state, env_state, obs, metrics
+
+
+# ---------------------------------------------------------------------------
+# Recurrent (LSTM) variant — the reference's optional recurrent path
+# (safelife_ppo.py:168-189: LSTM 512 with mask-reset in a tf.while_loop).
+# ---------------------------------------------------------------------------
+
+def rollout_recurrent(cfg, net, env, bank, params, env_state, obs, carry,
+                      key):
+    """Like :func:`rollout` but threads an RNN carry, resetting it where
+    episodes end.  Returns (env_state, obs, carry, traj, carry0, epstats)
+    where carry0 is the carry at rollout start (training replays from it).
+    """
+    key, k_fresh = jax.random.split(key)
+    fresh = None
+    if getattr(env.config, "auto_reset", False):
+        batch = jax.tree.leaves(env_state)[0].shape[-1]
+        core_env = env
+        while not hasattr(core_env, "sample_fresh_levels"):
+            core_env = core_env.env
+        fresh = core_env.sample_fresh_levels(bank, batch, k_fresh)
+    carry0 = carry
+
+    def policy_step(c, _):
+        env_state, obs, carry, key = c
+        key, k_act, k_env = jax.random.split(key, 3)
+        carry_out, (logits, value) = net.apply(params["net"], obs, carry)
+        action = jax.random.categorical(k_act, logits)
+        probs = jax.nn.softmax(logits)
+        old_pi = jnp.take_along_axis(probs, action[:, None], axis=1)[:, 0]
+        new_env_state, ts = env.step(env_state, bank, action, k_env,
+                                     fresh_levels=fresh)
+        # Mask-reset the carry where an episode ended.
+        keep = (~ts.done).astype(jnp.float32)[:, None]
+        carry_out = jax.tree.map(lambda x: x * keep, carry_out)
+        stats = dict(done=ts.done, times_up=ts.times_up,
+                     episode_length=ts.episode_length,
+                     episode_reward=ts.episode_reward,
+                     perf_completed=ts.perf_completed,
+                     perf_possible=ts.perf_possible,
+                     level_idx=ts.level_idx)
+        out = (obs, action.astype(jnp.int32), old_pi, ts.reward, ts.done,
+               value, stats)
+        return (new_env_state, ts.obs, carry_out, key), out
+
+    (env_state, obs, carry, _), \
+        (obs_seq, action, old_pi, reward, done, value, epstats) = \
+        jax.lax.scan(policy_step, (env_state, obs, carry, key),
+                     length=cfg.steps_per_env)
+    _, (_, final_value) = net.apply(params["net"], obs, carry)
+    value = jnp.concatenate([value, final_value[None]], axis=0)
+    traj = Trajectory(obs=obs_seq, action=action, old_pi=old_pi,
+                      reward=reward, done=done, value=value)
+    return env_state, obs, carry, traj, carry0, epstats
+
+
+def _recurrent_forward(net, net_params, obs_seq, done_seq, carry0):
+    """Replay a (T, M, ...) obs sequence through the RNN from carry0,
+    resetting the carry at episode boundaries.  Returns (logits, values)."""
+    def step(carry, x):
+        obs, done = x
+        carry, (logits, value) = net.apply(net_params, obs, carry)
+        keep = (~done).astype(jnp.float32)[:, None]
+        carry = jax.tree.map(lambda c: c * keep, carry)
+        return carry, (logits, value)
+
+    _, (logits, values) = jax.lax.scan(step, carry0, (obs_seq, done_seq))
+    return logits, values
+
+
+def ppo_loss_recurrent(cfg, net, params, obs, done, carry0, action, old_pi,
+                       old_value, returns, advantages):
+    """Recurrent counterpart of :func:`ppo_loss` (same losses; the policy
+    is evaluated by replaying the sequence through the RNN)."""
+    logits, value = _recurrent_forward(net, params["net"], obs, done, carry0)
+    probs = jax.nn.softmax(logits)
+    a_pi = jnp.take_along_axis(probs, action[..., None], axis=-1)[..., 0]
+
+    pw = jnp.asarray(cfg.policy_discount_weights, jnp.float32)
+    vw = jnp.asarray(cfg.value_discount_weights, jnp.float32)
+    prob_diff = jnp.sign(advantages) * (1.0 - a_pi / old_pi)[..., None]
+    if cfg.rescale_policy_eps:
+        eps = cfg.eps_clip * (1.0 + cfg.min_eps_rescale - old_pi)[..., None]
+    else:
+        eps = jnp.float32(cfg.eps_clip)
+    rect = _rectifier(cfg.policy_rectifier)
+    policy_loss = jnp.mean(jnp.abs(advantages) * rect(prob_diff, eps) * pw)
+
+    entropy = -jnp.sum(probs * jnp.log(probs + 1e-12), axis=-1)
+    pseudo_entropy = jnp.sum(probs * (1.0 - probs), axis=-1)
+    if not cfg.entropy_grad:
+        pseudo_entropy = jax.lax.stop_gradient(pseudo_entropy)
+    avg_pe = jnp.mean(pseudo_entropy)
+    spe = params["spe"]
+    entropy_loss = -cfg.entropy_reg * jnp.minimum(avg_pe, cfg.entropy_clip)
+    entropy_loss += 0.5 * jnp.square(jax.lax.stop_gradient(avg_pe) - spe)
+
+    v_clip = old_value + jnp.clip(value - old_value, -cfg.eps_clip,
+                                  cfg.eps_clip)
+    value_loss = jnp.maximum(
+        jnp.square(value - returns), jnp.square(v_clip - returns))
+    if cfg.value_grad_rescaling == "smooth":
+        value_loss = value_loss * jax.lax.stop_gradient(spe)
+    value_loss = 0.5 * jnp.mean(value_loss * vw)
+
+    total = policy_loss + cfg.vf_coef * value_loss + entropy_loss
+    metrics = dict(policy_loss=policy_loss, value_loss=value_loss,
+                   entropy=jnp.mean(entropy), pseudo_entropy=avg_pe,
+                   smoothed_pseudo_entropy=spe)
+    return total, metrics
+
+
+class RecurrentPPO(PPO):
+    """PPO over a recurrent policy (e.g. SafeLifeLSTMNet): the env batch is
+    minibatched by whole envs so sequences stay intact (the reference's
+    minibatch scheme, ppo.py:510-533)."""
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_batch(self, train_state, env_state, obs, carry, bank, key):
+        cfg = self.cfg
+        k_roll, k_perm = jax.random.split(key)
+        env_state, obs, carry, traj, carry0, epstats = rollout_recurrent(
+            cfg, self.net, self.env, bank, train_state.params,
+            env_state, obs, carry, k_roll)
+        returns, advantages = compute_gae(cfg, traj.reward, traj.done,
+                                          traj.value)
+        batch = traj.action.shape[1]
+        n_mb = cfg.num_minibatches
+        assert batch % n_mb == 0
+
+        def one_epoch(c, key_e):
+            params, opt_state = c
+            perm = jax.random.permutation(key_e, batch).reshape(n_mb, -1)
+
+            def one_minibatch(c, idx):
+                params, opt_state = c
+                mb = lambda x: jnp.take(x, idx, axis=1)
+                mb_carry = jax.tree.map(
+                    lambda x: jnp.take(x, idx, axis=0), carry0)
+                (loss, metrics), grads = jax.value_and_grad(
+                    ppo_loss_recurrent, argnums=2, has_aux=True)(
+                        cfg, self.net, params,
+                        mb(traj.obs), mb(traj.done), mb_carry,
+                        mb(traj.action), mb(traj.old_pi),
+                        mb(traj.value[:-1]), mb(returns), mb(advantages))
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            return jax.lax.scan(one_minibatch, (params, opt_state), perm)
+
+        keys = jax.random.split(k_perm, cfg.epochs_per_batch)
+        (params, opt_state), metrics = jax.lax.scan(
+            one_epoch, (train_state.params, train_state.opt_state), keys)
+        metrics = jax.tree.map(lambda x: x[-1, -1], metrics)
+        metrics.update(mean_reward=traj.reward.mean(), episodes=epstats)
+        train_state = TrainState(params=params, opt_state=opt_state,
+                                 update_step=train_state.update_step + 1)
+        return train_state, env_state, obs, carry, metrics

@@ -126,3 +126,50 @@ def test_mesh_data_parallel_training():
     from safelife_tpu.env.wrappers import unwrap
     board = unwrap(tr.env_state).board
     assert not board.sharding.is_fully_replicated
+
+
+def test_load_policy_from_logdir(tmp_path):
+    from safelife_tpu.training.driver import load_policy
+    tr = tiny_trainer(tmp_path)
+    tr.train(total_steps=600)
+    tr.save_checkpoint()
+    policy, view = load_policy(str(tmp_path))
+    assert view == (17, 17)
+    obs = jnp.zeros((4, 17, 17, 15), jnp.uint8)
+    acts = policy(obs, jax.random.PRNGKey(0))
+    assert acts.shape == (4,)
+    assert ((np.asarray(acts) >= 0) & (np.asarray(acts) < 9)).all()
+
+
+def test_recurrent_ppo_smoke():
+    """The LSTM policy trains end-to-end: one RecurrentPPO train_batch
+    produces finite metrics and updates params."""
+    from safelife_tpu.env.env import BatchedSafeLifeEnv, EnvConfig
+    from safelife_tpu.levels import synth
+    from safelife_tpu.training.model import SafeLifeLSTMNet
+    from safelife_tpu.training.ppo import RecurrentPPO
+
+    bank = synth.synth_bank(2, h=13, w=13)
+    env = BatchedSafeLifeEnv(EnvConfig(view_shape=(17, 17), time_limit=12))
+    cfg = PPOConfig(steps_per_env=6, num_minibatches=2, epochs_per_batch=1)
+    net = SafeLifeLSTMNet(num_actions=9, n_gamma=1)
+    batch = 8
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    state = env.reset_all(bank, batch, k1)
+    obs = env.observe(state)
+    carry = SafeLifeLSTMNet.initial_carry(batch)
+    params = {"net": net.init(k2, obs, carry), "spe": jnp.float32(1.0)}
+    ppo = RecurrentPPO(cfg, net, env)
+    import optax
+    from safelife_tpu.training.ppo import TrainState
+    ts = TrainState(params=params, opt_state=ppo.tx.init(params),
+                    update_step=jnp.int32(0))
+    before = jax.device_get(jax.tree.leaves(params["net"])[0])
+    for _ in range(2):
+        k3, k = jax.random.split(k3)
+        ts, state, obs, carry, metrics = ppo.train_batch(
+            ts, state, obs, carry, bank, k)
+    after = jax.device_get(jax.tree.leaves(ts.params["net"])[0])
+    assert np.isfinite(float(metrics["policy_loss"]))
+    assert not np.array_equal(before, after), "params did not update"
