@@ -7,7 +7,6 @@ envs, ALL levels of the suite run simultaneously as one device batch;
 each level's stats are captured at its first episode end.
 """
 
-import json
 import os
 import time
 

@@ -17,7 +17,6 @@ that value bootstrapping continues across episode boundaries
 (``env_wrappers.py:289-303``).
 """
 
-from functools import partial
 from typing import Any
 
 import jax

@@ -11,7 +11,7 @@ stay f32; see ``compute_dtype``), and the observation arrives as uint8
 binary channels from :mod:`safelife_tpu.ops.obs`, cast here.
 """
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
