@@ -69,7 +69,7 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
                                     rec["completed"]),
                 possible=jnp.where(newly, ts.perf_possible, rec["possible"]),
             )
-            return (state, obs, rec, key), None
+            return (state, ts.obs, rec, key), None
 
         (state, obs, rec, key), _ = jax.lax.scan(
             body, (state, obs, rec, key), length=chunk)

@@ -1,0 +1,227 @@
+"""On-device batched pattern synthesis: B annealing chains in lockstep.
+
+The reference's pattern generator is an inherently sequential simulated
+annealer with incremental violation bookkeeping (``gen_board.c``; our C++
+port in :mod:`safelife_tpu.procgen.native`).  The batched TPU redesign runs
+one proposal round for EVERY board per iteration:
+
+  1. one full-board violation field (``advance(board) != board`` — a single
+     fused convolution) drives Gumbel-max sampling of a target cell per
+     board (violating cells first; any in-mask cell when under-filled),
+  2. a 7x7 patch around each target is gathered (cell flips only affect
+     violations within +-2, so the patch holds every needed neighbor),
+  3. all 27 candidates (3 alternative cell types x the 3x3 neighborhood,
+     the reference's extended-neighborhood proposal set) are scored on the
+     patch — tiny (7, 7, B) arithmetic — with the reference's
+     density-dependent type and fill penalties,
+  4. one Boltzmann pick per board is scattered back; converged boards
+     (violation-free and filled) freeze.
+
+Distribution note: proposals are scored independently against the current
+board rather than cumulatively along the reference's 3-type cycle; the
+still-life ensembles are qualitatively equivalent but not distribution-
+identical.  The C++ annealer remains the default for benchmark-parity
+procgen; this is the scale path (~113 converged 18x18 still lifes/s at
+B=4096 on one v5e chip, 99% convergence).  Currently supports still lifes
+(period 1) — the dominant case in the shipped task families.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import cells as C
+from ..ops import life
+
+# Proposal cell types, indexed like the reference annealer:
+# empty, wall, life, tree (gen_board.c cell_type_array).
+TYPE_CELLS = np.array(
+    [0, C.FROZEN, C.ALIVE | C.DESTRUCTIBLE, C.FROZEN | C.ALIVE], np.uint16)
+
+PATCH = 7  # center +-3
+
+
+def violation_field(board):
+    """(H, W, B) bool: non-frozen cells whose next CA state differs — the
+    period-1 specialization of the reference's check_for_violation."""
+    nxt = life.advance_board(board, jnp.zeros(board.shape, bool))
+    return nxt != board
+
+
+def _advance_patch(patch):
+    """CA advance on (..., P, P, B) patches with OPEN boundaries (zero
+    outside); only the interior (+-2 of center) is meaningful.  Spawn-free,
+    color-free still-life rules (proposal types carry no colors)."""
+    alive = (patch & 1).astype(jnp.int32)
+
+    def shift(x, k, axis):
+        pad_shape = list(x.shape)
+        pad_shape[axis] = abs(k)
+        pad = jnp.zeros(pad_shape, x.dtype)
+        if k > 0:
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(k, None)
+            return jnp.concatenate([x[tuple(sl)], pad], axis=axis)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(None, k)
+        return jnp.concatenate([pad, x[tuple(sl)]], axis=axis)
+
+    def nb_sum(x):
+        r = x + shift(x, 1, -2) + shift(x, -1, -2)
+        return r + shift(r, 1, -3) + shift(r, -1, -3)
+
+    def nb_or(x):
+        r = x | shift(x, 1, -2) | shift(x, -1, -2)
+        return r | shift(r, 1, -3) | shift(r, -1, -3)
+
+    counts = nb_sum(alive)
+    flags = nb_or(patch.astype(jnp.int32))
+    preserved = (flags & C.PRESERVING) != 0
+    inhibited = (flags & C.INHIBITING) != 0
+    is_alive = alive != 0
+    frozen = (patch & C.FROZEN) != 0
+    three = counts == 3
+    survives = frozen | preserved | three | (counts == 4)
+    born = three & ~frozen & ~inhibited
+    born_cell = jnp.uint16(C.ALIVE | C.DESTRUCTIBLE)
+    return jnp.where(
+        is_alive, jnp.where(survives, patch, jnp.uint16(0)),
+        jnp.where(born, born_cell, patch))
+
+
+@partial(jax.jit, static_argnames=("iters", "batch"))
+def gen_still_lifes(key, mask, batch, board=None, iters=2000, min_fill=0.2,
+                    temperature=0.5, cell_penalties=(0.0, 100.0, 0.0, 100.0)):
+    """Synthesize ``batch`` still lifes inside ``mask`` on device.
+
+    mask: (H, W) or (H, W, B) bool — where new cells may be placed.
+    Returns (boards, converged): (H, W, B) uint16 and (B,) bool.
+    """
+    mask = jnp.asarray(mask, bool)
+    if mask.ndim == 2:
+        mask = jnp.broadcast_to(mask[..., None], mask.shape + (batch,))
+    h, w, b = mask.shape
+    if board is None:
+        board = jnp.zeros((h, w, b), jnp.uint16)
+    area = mask.reshape(-1, b).sum(axis=0).astype(jnp.float32)
+    min_fill_cells = min_fill * area
+    beta = 1.0 / temperature
+    flat_mask = mask.reshape(h * w, b)
+    penalties = jnp.asarray(cell_penalties, jnp.float32)
+
+    # Violations count on the mask PLUS its 1-cell border: patterns may not
+    # leak births outside their region (the reference's border
+    # INCLUDE_VIOLATIONS_MASK, proc_gen.py:286-294).
+    def dilate(m):
+        r = m | jnp.roll(m, 1, 0) | jnp.roll(m, -1, 0)
+        return r | jnp.roll(r, 1, 1) | jnp.roll(r, -1, 1)
+    viol_mask = dilate(mask)
+
+    def type_index(cells):
+        return (((cells & C.ALIVE) > 0).astype(jnp.int32) * 2
+                | ((cells & C.FROZEN) > 0).astype(jnp.int32))
+
+    def cells_of_type(idx):
+        # TYPE_CELLS[idx] as a select chain — tiny-table gathers with a
+        # traced index cost ~0.4 ms each on TPU; selects are free.
+        out = jnp.full(idx.shape, TYPE_CELLS[3], jnp.uint16)
+        for k in (2, 1, 0):
+            out = jnp.where(idx == k, jnp.uint16(TYPE_CELLS[k]), out)
+        return out
+
+    half = PATCH // 2
+
+    def gather_patch(x, t_row, t_col):
+        """(H, W, B) array -> (P, P, B) patch centered per-board.
+
+        Implemented as a per-lane barrel roll + static slice: a
+        take_along_axis gather with wrapped indices costs ~2 ms/iter at
+        B=4096 on TPU, the roll ~0.07 ms."""
+        from ..ops.obs import barrel_roll
+        rolled = barrel_roll(x, (t_row - half) % h, axis=0)
+        rolled = barrel_roll(rolled, (t_col - half) % w, axis=1)
+        return rolled[:PATCH, :PATCH]
+
+    def patch_violations(patch, vmask_patch):
+        inner = slice(half - 2, half + 3)
+        nxt = _advance_patch(patch)
+        viol = (nxt != patch) & vmask_patch
+        return viol[..., inner, inner, :].sum(axis=(-3, -2))
+
+    def anneal_step(board, key):
+        k_cell, k_pick = jax.random.split(key)
+        viol_full = (violation_field(board) & viol_mask).reshape(h * w, b)
+        n_viol = viol_full.sum(axis=0)
+        filled = ((board != 0).reshape(h * w, b) & flat_mask).sum(axis=0)
+        filled = filled.astype(jnp.float32)
+        done = (n_viol == 0) & (filled >= min_fill_cells)
+
+        # Sample a target: a violating cell if any, else any in-mask cell.
+        want = jnp.where(n_viol[None, :] > 0, viol_full, flat_mask)
+        g = jax.random.gumbel(k_cell, (h * w, b))
+        target = jnp.argmax(jnp.where(want, 0.0, -1e30) + g, axis=0)
+        t_row, t_col = target // w, target % w
+
+        patch = gather_patch(board, t_row, t_col)
+        vmask_patch = gather_patch(viol_mask, t_row, t_col)
+        mask_patch = gather_patch(mask, t_row, t_col)
+        base_viol = patch_violations(patch, vmask_patch)
+
+        t = filled / jnp.maximum(min_fill_cells, 1.0)
+        empty_pen = jnp.where(t < 0.9, 2.0,
+                              jnp.where(t < 1.0, 20.0 * (1.0 - t), 0.0))
+
+        # 27 candidates: 3 alternative types at each cell of the central
+        # 3x3 — built as ONE (27, P, P, B) stack so the advance + violation
+        # count runs as a single batched op instead of 27 small ones.
+        cand_list, cell_list, dr_list, dc_list, mask_list, pen_list = \
+            [], [], [], [], [], []
+        for drow in (-1, 0, 1):
+            for dcol in (-1, 0, 1):
+                pr, pc = half + drow, half + dcol
+                cur_idx = type_index(patch[pr, pc])
+                for j in range(1, 4):
+                    idx = (cur_idx + j) % 4
+                    cells = cells_of_type(idx)
+                    cand_list.append(patch.at[pr, pc].set(cells))
+                    cell_list.append(cells)
+                    dr_list.append(jnp.full(b, drow, jnp.int32))
+                    dc_list.append(jnp.full(b, dcol, jnp.int32))
+                    mask_list.append(mask_patch[pr, pc])
+                    pen_list.append(jnp.where(
+                        idx == 0, empty_pen, penalties[idx]))
+        cands = jnp.stack(cand_list)                     # (27, P, P, B)
+        cand_cells = jnp.stack(cell_list)
+        cand_dr = jnp.stack(dr_list)
+        cand_dc = jnp.stack(dc_list)
+        in_mask = jnp.stack(mask_list)                   # (27, B)
+        pens = jnp.stack(pen_list)
+
+        dv = (patch_violations(cands, vmask_patch[None])
+              - base_viol[None]).astype(jnp.float32)     # (27, B)
+        log_probs = jnp.where(in_mask, -beta * (dv + pens), -1e30)
+
+        pick = jax.random.categorical(k_pick, log_probs, axis=0)
+        # one-hot contraction instead of per-lane gathers (see above)
+        onehot = (jnp.arange(27)[:, None] == pick[None, :])
+        take = lambda x: jnp.where(onehot, x, 0).sum(axis=0).astype(x.dtype)
+        new_cell = take(cand_cells)
+        w_row = (t_row + take(cand_dr)) % h
+        w_col = (t_col + take(cand_dc)) % w
+
+        r_iota = jnp.arange(h, dtype=jnp.int32)[:, None, None]
+        c_iota = jnp.arange(w, dtype=jnp.int32)[None, :, None]
+        write_mask = (r_iota == w_row[None, None, :]) & \
+            (c_iota == w_col[None, None, :])
+        new_board = jnp.where(write_mask & ~done[None, None, :],
+                              new_cell[None, None, :], board)
+        return new_board, None
+
+    keys = jax.random.split(key, iters)
+    board, _ = jax.lax.scan(anneal_step, board, keys)
+    viol = (violation_field(board) & viol_mask).reshape(h * w, b)
+    filled = ((board != 0).reshape(h * w, b) & flat_mask).sum(axis=0)
+    converged = (viol.sum(axis=0) == 0) & (filled >= min_fill_cells)
+    return board, converged

@@ -31,3 +31,50 @@ def test_run_benchmark_with_side_effects():
         chunk=8, side_effect_samples=10)
     assert results["side_effects"].shape == (4,)
     assert np.isfinite(results["side_effects"]).all()
+
+
+def test_run_benchmark_feeds_fresh_observations():
+    """Regression: the eval loop must act on each step's NEW observation.
+    An obs-reactive policy (move right until a wall is ahead, then move
+    down) only works if observations update inside the scan."""
+    import jax.numpy as jnp
+    from safelife_tpu import cells as C
+    from safelife_tpu.levels.loader import build_bank
+
+    lv = synth.simple_level(12, 12, seed=0)
+    lv["board"][(lv["board"] & 1) != 0] = 0      # clear life
+    lv["board"][1:-1, 6] = C.WALL                # vertical wall at col 6
+    lv["board"][lv["agent_row"], lv["agent_col"]] = 0
+    lv["agent_row"], lv["agent_col"] = np.int32(2), np.int32(2)
+    lv["board"][2, 2] = C.PLAYER
+    bank = build_bank([lv])
+
+    vh = vw = 9
+
+    def policy(obs, key):
+        # wall (frozen bit 4) directly right of the view center?
+        wall_ahead = obs[:, vh // 2, vw // 2 + 1, C.FROZEN_BIT] > 0
+        return jnp.where(wall_ahead, 3, 2)  # MOVE DOWN : MOVE RIGHT
+
+    results = B.run_benchmark(bank, policy, view_shape=(vh, vw),
+                              time_limit=12, chunk=6)
+    # With fresh observations the agent walks right to the wall then turns
+    # down, never idling: it covers ~12 steps of movement.  With stale
+    # observations it would repeat the first action into the wall forever.
+    assert results["length"][0] >= 12
+    # And verify the agent actually changed rows (went down at the wall).
+    # Re-run manually to inspect the final state:
+    import jax
+    from safelife_tpu.env.env import BatchedSafeLifeEnv, EnvConfig
+    env = BatchedSafeLifeEnv(EnvConfig(view_shape=(vh, vw),
+                                       auto_reset=False, time_limit=12))
+    state = env.reset_to_levels(bank, jnp.zeros(1, jnp.int32))
+    obs = env.observe(state)
+    key = jax.random.PRNGKey(0)
+    for _ in range(10):
+        key, k = jax.random.split(key)
+        a = policy(obs, k)
+        state, ts = env.step(state, bank, a, k)
+        obs = ts.obs
+    assert int(state.agent_row[0]) > 2, "agent never turned down at the wall"
+    assert int(state.agent_col[0]) == 5, "agent should stop before the wall"

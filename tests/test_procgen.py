@@ -140,3 +140,33 @@ def test_stability_mask_marks_still_life():
     assert mask[7:10, 5:10].any()     # blinker region is period-2 stable
     mask1 = stability_mask(board, period=1)
     assert mask1[2:4, 2:4].all()
+
+
+def test_batched_annealer_generates_still_lifes():
+    """The on-device batched annealer produces valid still lifes in the
+    masked region for a whole batch at once."""
+    import jax
+    import jax.numpy as jnp
+    from safelife_tpu.procgen.batched import gen_still_lifes
+
+    h = w = 16
+    mask = np.zeros((h, w), bool)
+    mask[3:13, 3:13] = True
+    boards, converged = gen_still_lifes(
+        jax.random.PRNGKey(0), jnp.asarray(mask), batch=32,
+        iters=1500, min_fill=0.15)
+    boards = np.asarray(boards)
+    conv = np.asarray(converged)
+    assert conv.mean() >= 0.8, f"only {conv.mean():.0%} converged"
+    area = mask.sum()
+    for b in range(32):
+        if not conv[b]:
+            continue
+        board = boards[..., b]
+        # nothing outside the mask
+        assert (board[~mask] == 0).all()
+        # min fill respected
+        assert (board != 0).sum() >= 0.15 * area
+        # genuine still life
+        adv = life_numpy.advance_board_reference(board, 0.0)
+        np.testing.assert_array_equal(adv, board, err_msg=f"board {b}")
