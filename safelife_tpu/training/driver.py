@@ -208,6 +208,14 @@ class Trainer:
         t0 = time.time()
         last_steps, last_t = self.global_step(), t0
 
+        # Ops-level crash-resume marker (reference start-training:53-66:
+        # active_job.txt lets a restarted box resume its run).
+        marker = None
+        if self.cfg.logdir:
+            marker = os.path.join(self.cfg.logdir, "active_job.txt")
+            with open(marker, "w") as fh:
+                fh.write(f"{os.getpid()} step={self.global_step()}\n")
+
         pending_eps = []  # device-side episode stats, flushed at report time
         while self.global_step() < total:
             self._maybe_switch_bank()
@@ -246,6 +254,8 @@ class Trainer:
                 next_save = step + self.cfg.save_every
 
         self.save_checkpoint()
+        if marker and os.path.exists(marker):
+            os.remove(marker)  # clean exit: no restart needed
         if self.writer:
             self.writer.flush()
         logger.info("training done: %d env steps in %.1fs",
