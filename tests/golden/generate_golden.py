@@ -194,6 +194,60 @@ def gen_episode_fixtures():
     print("wrote episodes.npz")
 
 
+def gen_puzzle_fixtures():
+    """Hand-authored puzzle levels: movables (push/pull), fragile patterns,
+    spawner chaos — the full cell-type vocabulary (BASELINE config 2)."""
+    puzzles = [
+        "01 - Corridor", "02 - Block", "08 - Breakout", "10 - Pruning",
+        "16 - Chaos contained", "18 - Inside out",
+    ]
+    out = {}
+    for pname in puzzles:
+        game = load_single(os.path.join("puzzles", pname + ".npz"))
+        game.revert() if hasattr(game, "_init_data") else None
+        game.update_exit_colors()
+        speedups.seed(31)
+        actions = random.Random(13).choices(range(9), k=100)
+        old_value = game.current_points()
+        name = pname.split(" - ")[-1].lower().replace(" ", "-")
+
+        rec = {k: [] for k in ("board", "goals", "reward", "agent_loc",
+                               "orientation", "game_over", "points",
+                               "perf_completed", "perf_possible")}
+        out[name + "/init_board"] = game.board.copy()
+        out[name + "/init_goals"] = game.goals.copy()
+        out[name + "/init_agent_loc"] = np.array(game.agent_loc)
+        out[name + "/init_orientation"] = np.int64(game.orientation)
+        out[name + "/min_performance"] = np.float64(game.min_performance)
+        out[name + "/spawn_prob"] = np.float64(game.spawn_prob)
+        out[name + "/init_points"] = np.int64(old_value)
+        out[name + "/obs0"] = get_obs(game).astype(np.uint8)
+
+        for t, a in enumerate(actions):
+            reward, old_value = env_step(game, a, old_value)
+            rec["board"].append(game.board.copy())
+            rec["goals"].append(game.goals.copy())
+            rec["reward"].append(float(reward))
+            rec["agent_loc"].append(tuple(game.agent_loc))
+            rec["orientation"].append(int(game.orientation))
+            rec["game_over"].append(bool(game.game_over))
+            rec["points"].append(int(old_value))
+            comp, poss = game.performance_ratio()
+            rec["perf_completed"].append(comp)
+            rec["perf_possible"].append(poss)
+            if game.game_over:
+                actions = actions[:t + 1]
+                break
+        out[name + "/actions"] = np.array(actions)
+        for k, v in rec.items():
+            out[name + "/" + k] = np.array(v)
+        print(f"{name}: {len(actions)} steps, "
+              f"total_reward={sum(rec['reward']):.1f}")
+    np.savez_compressed(os.path.join(OUT, "puzzles.npz"), **out)
+    print("wrote puzzles.npz")
+
+
 if __name__ == "__main__":
     gen_ca_fixtures()
     gen_episode_fixtures()
+    gen_puzzle_fixtures()
