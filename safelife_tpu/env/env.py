@@ -62,10 +62,17 @@ class TimeStep(struct.PyTreeNode):
     perf_completed: Any   # (B,) int32
     perf_possible: Any    # (B,) int32
     level_idx: Any        # (B,) int32
+    # Pre-reset side-effect cell count (SimpleSideEffectPenalty semantics),
+    # computed in-kernel on the fused path; None on the XLA path (wrappers
+    # fall back to computing it from state_before_reset).
+    side_effect_count: Any = None
     # Full post-step state BEFORE any auto-reset.  Wrappers (movement bonus,
     # side-effect penalty, recorders) need the pre-reset board/agent; under
     # jit these are references into the fused program — unused leaves are
     # dead-code-eliminated, so carrying the whole state costs nothing.
+    # NOTE: on the fused auto-reset path the four BOARD leaves are already
+    # post-reset (the reset select is folded into the kernel); the per-lane
+    # scalars remain pre-reset and side_effect_count is provided instead.
     state_before_reset: Any = None
 
 
@@ -203,21 +210,43 @@ class BatchedSafeLifeEnv:
         fused = (spawn_board is None and spawn_goals is None
                  and cfg.use_pallas and life_pallas.available(state.batch_size)
                  and not cfg.can_toggle_powers and not cfg.can_toggle_colors)
+        effect_count = None
+        reset_boards = None
         if fused:
-            # Fast path: one fused Pallas kernel does action + both CA
-            # advances (in-core PRNG) + scoring + exit recolor in a single
-            # VMEM pass.  The XLA path below is the reference semantics
-            # (CPU, parity mode with precomputed spawn fields, toggle
-            # powers/colors) and the two are tested equal.
+            # Fast path: fused Pallas kernels do action + both CA advances
+            # (in-core PRNG) + scoring + exit recolor + side-effect count —
+            # and, when auto-resetting, the reset select of the four board
+            # arrays — in single VMEM passes.  The XLA path below is the
+            # reference semantics (CPU, parity mode with precomputed spawn
+            # fields, toggle powers/colors) and the two are tested equal.
+            fresh = None
+            if cfg.auto_reset:
+                if fresh_levels is not None and not cfg.sequential_levels:
+                    idx, fresh = fresh_levels
+                else:
+                    idx = self._next_level_idx(
+                        bank.num_levels, state.batch_size, state.reset_count,
+                        k_reset)
+                    fresh = self._fresh_state_fields(bank, idx)
             seed = jax.random.randint(
                 k_board, (), 0, jnp.int32(2**31 - 1), dtype=jnp.int32)
-            (board, goals, agent_row, agent_col, orientation, exited,
-             points, comp1, poss1, ce1) = env_step_pallas.fused_step(
+            out = env_step_pallas.fused_step(
                 state.board, state.goals, state.init_board, action,
                 state.agent_row, state.agent_col, state.orientation,
                 prev_over, ce0, state.baseline_score,
                 state.spawn_prob, state.min_performance, seed,
-                static_goals=bank.static_goals)
+                static_goals=bank.static_goals,
+                init_goals=state.init_goals,
+                episode_length=state.episode_length,
+                fresh=fresh,
+                time_limit=cfg.time_limit if cfg.auto_reset else 0)
+            (board, goals, agent_row, agent_col, orientation, exited,
+             points, comp1, poss1, ce1, effect_count) = out[:11]
+            if cfg.auto_reset:
+                reset_boards = dict(
+                    board=board, goals=goals,
+                    init_board=out[11], init_goals=out[12],
+                    fresh=fresh, idx=idx)
             exit_reward = exited.astype(jnp.float32) * jnp.float32(
                 cfg.points_on_level_exit)
             act = agent_ops.ActionResult(
@@ -267,14 +296,26 @@ class BatchedSafeLifeEnv:
 
         new_state = mid
         if cfg.auto_reset:
-            if fresh_levels is not None and not cfg.sequential_levels:
-                idx, fresh = fresh_levels
+            if reset_boards is not None:
+                # The kernel already reset the four board arrays in its
+                # write pass; select only the small per-lane leaves here.
+                fresh = reset_boards["fresh"]
+                small = {k: v for k, v in fresh.items()
+                         if k not in ("board", "goals", "init_board",
+                                      "init_goals")}
+                new_state = _select_reset(mid, small, done)
+                new_state = new_state.replace(
+                    init_board=reset_boards["init_board"],
+                    init_goals=reset_boards["init_goals"])
             else:
-                idx = self._next_level_idx(
-                    bank.num_levels, state.batch_size, state.reset_count,
-                    k_reset)
-                fresh = self._fresh_state_fields(bank, idx)
-            new_state = _select_reset(mid, fresh, done)
+                if fresh_levels is not None and not cfg.sequential_levels:
+                    idx, fresh = fresh_levels
+                else:
+                    idx = self._next_level_idx(
+                        bank.num_levels, state.batch_size, state.reset_count,
+                        k_reset)
+                    fresh = self._fresh_state_fields(bank, idx)
+                new_state = _select_reset(mid, fresh, done)
             new_state = new_state.replace(
                 reset_count=mid.reset_count + done.astype(jnp.int32),
                 episodes_started=mid.episodes_started
@@ -288,6 +329,7 @@ class BatchedSafeLifeEnv:
             episode_reward=mid.episode_reward,
             perf_completed=comp1, perf_possible=poss1,
             level_idx=mid.level_idx,
+            side_effect_count=effect_count,
             state_before_reset=mid,
         )
         return new_state, ts

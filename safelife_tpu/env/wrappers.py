@@ -260,7 +260,11 @@ class SideEffectPenaltyWrapper(Wrapper):
     def step(self, state, bank, action, key, **kw):
         inner, ts = self.env.step(state.inner, bank, action, key, **kw)
         mid = ts.state_before_reset
-        effect = self.side_effect_count(mid.board, mid.init_board, mid.goals)
+        if ts.side_effect_count is not None:
+            effect = ts.side_effect_count  # computed in the fused kernel
+        else:
+            effect = self.side_effect_count(
+                mid.board, mid.init_board, mid.goals)
         delta = (effect - state.extra["last_side_effect"]).astype(jnp.float32)
         coef = scheduled(self.penalty_coef, mid.num_steps)
         ts = ts.replace(reward=ts.reward - delta * coef)

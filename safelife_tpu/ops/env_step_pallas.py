@@ -138,8 +138,22 @@ def _action_kernel(si_ref, board_ref, out_board_ref, out_i_ref):
     out_i_ref[3, :] = exited.astype(jnp.int32)
 
 
-def _advance_kernel(seed_ref, si_ref, sf_ref, board_ref, goals_ref, init_ref,
-                    out_board_ref, out_goals_ref, out_i_ref, *, static_goals):
+def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
+                    time_limit=0):
+    """CA advance + scoring + exit recolor, optionally folding the
+    auto-reset select into the same write pass (``time_limit > 0``): the
+    episode's done flag is computable in-kernel (times_up | game_over |
+    exited), so resetting lanes swap in the fresh bank level without a
+    separate full-array select outside."""
+    do_reset = time_limit > 0
+    if do_reset:
+        (act_ref, board_ref, goals_ref, init_ref, initg_ref,
+         fb_ref, fg_ref, fib_ref, fig_ref,
+         out_board_ref, out_goals_ref, out_ib_ref, out_ig_ref,
+         out_i_ref) = refs
+    else:
+        (board_ref, goals_ref, init_ref,
+         out_board_ref, out_goals_ref, out_i_ref) = refs
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     h, w, lanes = board_ref.shape
     baseline = si_ref[6, :]
@@ -175,31 +189,68 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, board_ref, goals_ref, init_ref,
     # ---- exit recolor ---------------------------------------------------------
     ce1 = (min_perf < 0) | (comp.astype(jnp.float32)
                             >= min_perf * poss.astype(jnp.float32))
-    exit_mask = (init_ref[:].astype(jnp.int32) & C.EXIT) != 0
+    init_board = init_ref[:].astype(jnp.int32)
+    exit_mask = (init_board & C.EXIT) != 0
     exit_cell = jnp.where(ce1, C.LEVEL_EXIT | C.COLOR_R, C.LEVEL_EXIT)
     board = jnp.where(exit_mask, exit_cell[None, None, :], board)
 
-    out_board_ref[:] = board.astype(jnp.uint16)
-    if static_goals:
-        out_goals_ref[:] = goals_ref[:]
+    # ---- side-effect cell count (env_wrappers.py:306-346 semantics) -----
+    bb = board & ~C.PLAYER
+    sb = init_board & ~C.PLAYER
+    bb = jnp.where(exit_mask, sb, bb)
+    red_life = C.ALIVE | C.COLOR_R
+    start_red = (sb & red_life) == red_life
+    end_red = (bb & red_life) == red_life
+    goal_cell = (goals & C.COLORS) == C.COLOR_B
+    end_alive = (bb & red_life) == C.ALIVE
+    non_effects = (bb == sb) | (start_red & ~end_red) | \
+        (goal_cell & end_alive)
+    effect = jnp.sum((~non_effects).astype(jnp.int32), axis=(0, 1))
+
+    if do_reset:
+        episode_length = si_ref[7, :] + 1
+        exited = act_ref[3, :] != 0
+        game_over = (si_ref[4, :] != 0) | exited
+        done = (episode_length > time_limit) | game_over
+        m = done[None, None, :]
+        out_board_ref[:] = jnp.where(
+            m, fb_ref[:], board.astype(jnp.uint16))
+        goals_out = goals_ref[:] if static_goals \
+            else goals.astype(jnp.uint16)
+        out_goals_ref[:] = jnp.where(m, fg_ref[:], goals_out)
+        out_ib_ref[:] = jnp.where(m, fib_ref[:], init_ref[:])
+        out_ig_ref[:] = jnp.where(m, fig_ref[:], initg_ref[:])
     else:
-        out_goals_ref[:] = goals.astype(jnp.uint16)
+        out_board_ref[:] = board.astype(jnp.uint16)
+        if static_goals:
+            out_goals_ref[:] = goals_ref[:]
+        else:
+            out_goals_ref[:] = goals.astype(jnp.uint16)
     out_i_ref[0, :] = points
     out_i_ref[1, :] = comp
     out_i_ref[2, :] = poss
     out_i_ref[3, :] = ce1.astype(jnp.int32)
+    out_i_ref[4, :] = effect
 
 
-@partial(jax.jit, static_argnames=("interpret", "static_goals"))
+@partial(jax.jit, static_argnames=("interpret", "static_goals",
+                                   "time_limit"))
 def fused_step(board, goals, init_board, action, agent_row, agent_col,
                orientation, game_over, can_exit0, baseline_score,
                spawn_prob, min_performance, seed, interpret=False,
-               static_goals=False):
+               static_goals=False, init_goals=None, episode_length=None,
+               fresh=None, time_limit=0):
     """Run the fused env-step core.  All per-env args are (B,) with
     B % 128 == 0; boards are (H, W, B) uint16.
 
+    With ``time_limit > 0`` the auto-reset select for the four board
+    arrays is folded into the advance kernel's write pass: pass
+    ``init_goals``, ``episode_length`` and ``fresh`` (a dict holding the
+    pre-gathered fresh board/goals/init_board/init_goals).
+
     Returns (board', goals', agent_row', agent_col', orientation', exited,
-    points, perf_completed, perf_possible, can_exit1).
+    points, perf_completed, perf_possible, can_exit1[, init_board',
+    init_goals']).
     """
     h, w, b = board.shape
     assert b % LANES == 0, f"batch {b} must be a multiple of {LANES}"
@@ -208,6 +259,7 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
                               memory_space=pltpu.VMEM)
     lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
         (rows, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    bshape = jax.ShapeDtypeStruct((h, w, b), jnp.uint16)
 
     si = jnp.stack([
         jnp.asarray(action, jnp.int32), jnp.asarray(agent_row, jnp.int32),
@@ -215,7 +267,8 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
         jnp.asarray(orientation, jnp.int32),
         game_over.astype(jnp.int32), can_exit0.astype(jnp.int32),
         jnp.asarray(baseline_score, jnp.int32),
-        jnp.zeros(b, jnp.int32)])
+        jnp.zeros(b, jnp.int32) if episode_length is None
+        else jnp.asarray(episode_length, jnp.int32)])
     sf = jnp.stack([jnp.asarray(spawn_prob, jnp.float32),
                     jnp.asarray(min_performance, jnp.float32)])
 
@@ -224,28 +277,45 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
         grid=grid,
         in_specs=[lane_spec(8), board_spec],
         out_specs=(board_spec, lane_spec(4)),
-        out_shape=(jax.ShapeDtypeStruct((h, w, b), jnp.uint16),
-                   jax.ShapeDtypeStruct((4, b), jnp.int32)),
+        out_shape=(bshape, jax.ShapeDtypeStruct((4, b), jnp.int32)),
         interpret=interpret,
     )(si, board)
 
+    kern = partial(_advance_kernel, static_goals=static_goals,
+                   time_limit=time_limit)
+    common = [pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+              lane_spec(8), lane_spec(2)]
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    if time_limit > 0:
+        outs = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=common + [lane_spec(4)] + [board_spec] * 8,
+            out_specs=(board_spec,) * 4 + (lane_spec(8),),
+            out_shape=(bshape,) * 4 + (
+                jax.ShapeDtypeStruct((8, b), jnp.int32),),
+            compiler_params=params,
+            interpret=interpret,
+        )(seed_arr, si, sf, act_i, board1, goals, init_board, init_goals,
+          fresh["board"], fresh["goals"], fresh["init_board"],
+          fresh["init_goals"])
+        out_board, out_goals, out_ib, out_ig, adv_i = outs
+        return (out_board, out_goals, act_i[0], act_i[1], act_i[2],
+                act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
+                adv_i[3].astype(bool), adv_i[4], out_ib, out_ig)
+
     out_board, out_goals, adv_i = pl.pallas_call(
-        partial(_advance_kernel, static_goals=static_goals),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-            lane_spec(8), lane_spec(2), board_spec, board_spec, board_spec,
-        ],
-        out_specs=(board_spec, board_spec, lane_spec(4)),
-        out_shape=(jax.ShapeDtypeStruct((h, w, b), jnp.uint16),
-                   jax.ShapeDtypeStruct((h, w, b), jnp.uint16),
-                   jax.ShapeDtypeStruct((4, b), jnp.int32)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=common + [board_spec] * 3,
+        out_specs=(board_spec, board_spec, lane_spec(8)),
+        out_shape=(bshape, bshape,
+                   jax.ShapeDtypeStruct((8, b), jnp.int32)),
+        compiler_params=params,
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), si, sf,
-      board1, goals, init_board)
+    )(seed_arr, si, sf, board1, goals, init_board)
 
     return (out_board, out_goals, act_i[0], act_i[1], act_i[2],
             act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
-            adv_i[3].astype(bool))
+            adv_i[3].astype(bool), adv_i[4])
