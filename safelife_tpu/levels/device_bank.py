@@ -1,0 +1,55 @@
+"""Build LevelBanks from device arrays — no host round-trip.
+
+``loader.build_bank`` precomputes reset-time fields in numpy (fine for
+file-loaded levels); banks produced by the on-device level factory
+(:mod:`safelife_tpu.procgen.batched`) stay on device end to end by
+computing those fields with the jitted scoring ops instead.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..env.state import LevelBank, find_exits
+from ..ops import scoring
+
+
+@partial(jax.jit, static_argnames=("max_exits", "static_goals"))
+def build_bank_from_arrays(board, goals, agent_row, agent_col,
+                           orientation=None, spawn_prob=None,
+                           min_performance=-1.0, max_exits=4,
+                           static_goals=False):
+    """Assemble a LevelBank from (H, W, N) device arrays.
+
+    ``static_goals`` must be asserted by the caller (it is a static
+    compile-time property; pass True only when every goal board is a
+    spawner-free CA fixed point).
+    """
+    h, w, n = board.shape
+    board = jnp.asarray(board, jnp.uint16)
+    goals = jnp.asarray(goals, jnp.uint16)
+    if orientation is None:
+        orientation = jnp.ones(n, jnp.int32)
+    if spawn_prob is None:
+        spawn_prob = jnp.zeros(n, jnp.float32)
+    min_performance = jnp.broadcast_to(
+        jnp.asarray(min_performance, jnp.float32), (n,))
+
+    baseline = scoring.performance_score(board, goals)
+    possible0 = scoring.possible_score(goals) - baseline
+    points0 = scoring.current_points(board, goals)
+    can_exit0 = (min_performance < 0) | (
+        0 >= min_performance * possible0.astype(jnp.float32))
+    er, ec, ev = find_exits(board, max_exits)
+
+    return LevelBank(
+        board=board, goals=goals,
+        agent_row=jnp.asarray(agent_row, jnp.int32),
+        agent_col=jnp.asarray(agent_col, jnp.int32),
+        orientation=jnp.asarray(orientation, jnp.int32),
+        spawn_prob=jnp.asarray(spawn_prob, jnp.float32),
+        min_performance=min_performance,
+        exit_row=er, exit_col=ec, exit_valid=ev,
+        baseline_score=baseline, possible0=possible0, points0=points0,
+        can_exit0=can_exit0, static_goals=static_goals)

@@ -225,3 +225,83 @@ def gen_still_lifes(key, mask, batch, board=None, iters=2000, min_fill=0.2,
     filled = ((board != 0).reshape(h * w, b) & flat_mask).sum(axis=0)
     converged = (viol.sum(axis=0) == 0) & (filled >= min_fill_cells)
     return board, converged
+
+
+# ---------------------------------------------------------------------------
+# Fully on-device level factory
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("batch", "h", "w", "iters"))
+def gen_build_levels(key, batch, h=14, w=14, iters=1500, min_fill=0.12,
+                     goal_fill=0.15, min_performance=0.3,
+                     temperature=0.45):
+    """Generate a whole bank of single-region build-task levels on device
+    (the append-easy family: a walled region containing a green still life,
+    a blue still-life goal pattern to recreate, player + farthest exit in
+    the border buffer).
+
+    The expensive parts — two batched annealing runs — never leave the
+    chip; host code only triggers the final bank assembly.  Returns
+    (LevelBank, converged (B,) bool).
+    """
+    from .. import cells as C
+    from ..levels.device_bank import build_bank_from_arrays
+
+    k_pat, k_goal, k_player = jax.random.split(key, 3)
+    # Interior pattern region with a 3-cell border buffer (2-cell walkway +
+    # wall ring, mirroring the reference's region partition buffers).
+    mask = jnp.zeros((h, w), bool).at[3:h - 3, 3:w - 3].set(True)
+
+    boards, conv_b = gen_still_lifes(
+        k_pat, mask, batch, iters=iters, min_fill=min_fill,
+        temperature=temperature)
+    goal_pat, conv_g = gen_still_lifes(
+        k_goal, mask, batch, iters=iters, min_fill=goal_fill,
+        temperature=temperature)
+
+    alive_b = (boards & C.ALIVE) != 0
+    board = jnp.where(alive_b, boards | jnp.uint16(C.COLOR_G), boards)
+    alive_g = (goal_pat & C.ALIVE) != 0
+    goals = jnp.where(alive_g,
+                      (goal_pat | jnp.uint16(C.COLOR_B))
+                      & ~jnp.uint16(C.SPAWNING),
+                      jnp.uint16(0))
+
+    # Wall ring just outside the region keeps patterns contained.
+    ring = jnp.zeros((h, w), bool)
+    ring = ring.at[2, 2:w - 2].set(True).at[h - 3, 2:w - 2].set(True)
+    ring = ring.at[2:h - 2, 2].set(True).at[2:h - 2, w - 3].set(True)
+    board = jnp.where(ring[..., None], jnp.uint16(C.WALL), board)
+
+    # Player at a random outer-buffer cell; exit at the farthest buffer
+    # cell (torus manhattan), per the reference's placement rule.
+    buffer_mask = jnp.zeros((h, w), bool)
+    buffer_mask = buffer_mask.at[:2, :].set(True).at[h - 2:, :].set(True)
+    buffer_mask = buffer_mask.at[:, :2].set(True).at[:, w - 2:].set(True)
+    flat_buf = buffer_mask.reshape(-1)
+    g = jax.random.gumbel(k_player, (h * w, batch))
+    p_flat = jnp.argmax(jnp.where(flat_buf[:, None], 0.0, -1e30) + g, axis=0)
+    pr, pc = p_flat // w, p_flat % w
+
+    rr = jnp.arange(h)[:, None, None]
+    cc = jnp.arange(w)[None, :, None]
+    dr = jnp.abs(rr - pr[None, None, :])
+    dc = jnp.abs(cc - pc[None, None, :])
+    dist = jnp.minimum(dr, h - dr) + jnp.minimum(dc, w - dc)
+    dist = jnp.where(buffer_mask[..., None], dist, -1)
+    e_flat = jnp.argmax(dist.reshape(h * w, batch), axis=0)
+    er, ec = e_flat // w, e_flat % w
+
+    pmask = (rr == pr[None, None, :]) & (cc == pc[None, None, :])
+    emask = (rr == er[None, None, :]) & (cc == ec[None, None, :])
+    board = jnp.where(pmask, jnp.uint16(C.PLAYER), board)
+    board = jnp.where(emask, jnp.uint16(C.LEVEL_EXIT | C.COLOR_R), board)
+
+    # White goals on the buffer (visual hint, reference gen_game).
+    goals = jnp.where(buffer_mask[..., None] & (goals == 0),
+                      jnp.uint16(C.COLORS), goals)
+
+    bank = build_bank_from_arrays(
+        board, goals, pr, pc, min_performance=min_performance,
+        static_goals=False)
+    return bank, conv_b & conv_g

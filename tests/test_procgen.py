@@ -170,3 +170,38 @@ def test_batched_annealer_generates_still_lifes():
         # genuine still life
         adv = life_numpy.advance_board_reference(board, 0.0)
         np.testing.assert_array_equal(adv, board, err_msg=f"board {b}")
+
+
+def test_on_device_level_factory():
+    """gen_build_levels produces playable build-task banks on device."""
+    import jax
+    import jax.numpy as jnp
+    from safelife_tpu.env.env import BatchedSafeLifeEnv, EnvConfig
+    from safelife_tpu.procgen.batched import gen_build_levels
+
+    bank, conv = gen_build_levels(jax.random.PRNGKey(0), batch=16,
+                                  iters=1200)
+    conv = np.asarray(conv)
+    assert conv.mean() >= 0.7
+    board = np.asarray(bank.board)
+    assert ((board & C.AGENT) != 0).sum(axis=(0, 1)).min() == 1  # one agent
+    assert ((board & C.EXIT) != 0).sum(axis=(0, 1)).min() == 1   # one exit
+    goals = np.asarray(bank.goals)
+    assert (((goals & C.ALIVE) != 0) & ((goals & C.COLOR_B) != 0)).any()
+    assert (np.asarray(bank.possible0) > 0).all()  # something to build
+
+    env = BatchedSafeLifeEnv(EnvConfig(view_shape=(15, 15), time_limit=20))
+    state = env.reset_all(bank, 8, jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    for _ in range(25):
+        key, ka, ke = jax.random.split(key, 3)
+        a = jax.random.randint(ka, (8,), 0, 9)
+        state, ts = env.step(state, bank, a, ke)
+    assert np.isfinite(np.asarray(ts.reward)).all()
+    # a green still life that the agent hasn't touched stays intact
+    conv_idx = int(np.argmax(conv))
+    b0 = board[..., conv_idx]
+    from safelife_tpu.ops import life_numpy
+    interior = np.zeros_like(b0, bool); interior[3:-3, 3:-3] = True
+    adv = life_numpy.advance_board_reference(b0, 0.0)
+    np.testing.assert_array_equal(adv[interior], b0[interior])
