@@ -40,14 +40,25 @@ from ..ops import life
 TYPE_CELLS = np.array(
     [0, C.FROZEN, C.ALIVE | C.DESTRUCTIBLE, C.FROZEN | C.ALIVE], np.uint16)
 
-PATCH = 7  # center +-3
+def violation_field(board, period=1):
+    """(H, W, B) bool: cells where advancing ``period`` steps does not
+    return the board to itself — the reference's check_for_violation over
+    a full cycle (still life for period 1, oscillator otherwise)."""
+    b = board
+    for _ in range(period):
+        b = life.advance_board(b, jnp.zeros(board.shape, bool))
+    return b != board
 
 
-def violation_field(board):
-    """(H, W, B) bool: non-frozen cells whose next CA state differs — the
-    period-1 specialization of the reference's check_for_violation."""
-    nxt = life.advance_board(board, jnp.zeros(board.shape, bool))
-    return nxt != board
+def oscillation_field(board, period):
+    """(H, W, B) bool: cells whose ALIVE bit changes within the period
+    (the reference's oscillation bitmask, gen_board.c)."""
+    osc = jnp.zeros(board.shape, bool)
+    b = board
+    for _ in range(max(period - 1, 0)):
+        b = life.advance_board(b, jnp.zeros(board.shape, bool))
+        osc = osc | (((b ^ board) & C.ALIVE) != 0)
+    return osc
 
 
 def _advance_patch(patch):
@@ -91,14 +102,18 @@ def _advance_patch(patch):
         jnp.where(born, born_cell, patch))
 
 
-@partial(jax.jit, static_argnames=("iters", "batch"))
+@partial(jax.jit, static_argnames=("iters", "batch", "period"))
 def gen_still_lifes(key, mask, batch, board=None, iters=2000, min_fill=0.2,
-                    temperature=0.5, cell_penalties=(0.0, 100.0, 0.0, 100.0)):
-    """Synthesize ``batch`` still lifes inside ``mask`` on device.
+                    temperature=0.5, cell_penalties=(0.0, 100.0, 0.0, 100.0),
+                    period=1, osc_bonus=0.3):
+    """Synthesize ``batch`` still lifes (period 1) or oscillators
+    (period >= 2, scored with the reference's oscillation bonus) inside
+    ``mask`` on device.
 
     mask: (H, W) or (H, W, B) bool — where new cells may be placed.
     Returns (boards, converged): (H, W, B) uint16 and (B,) bool.
     """
+    PATCH = 4 * period + 3  # proposals +-1, viol band +-(p+1), stencil +-p
     mask = jnp.asarray(mask, bool)
     if mask.ndim == 2:
         mask = jnp.broadcast_to(mask[..., None], mask.shape + (batch,))
@@ -144,15 +159,25 @@ def gen_still_lifes(key, mask, batch, board=None, iters=2000, min_fill=0.2,
         rolled = barrel_roll(rolled, (t_col - half) % w, axis=1)
         return rolled[:PATCH, :PATCH]
 
-    def patch_violations(patch, vmask_patch):
-        inner = slice(half - 2, half + 3)
-        nxt = _advance_patch(patch)
-        viol = (nxt != patch) & vmask_patch
-        return viol[..., inner, inner, :].sum(axis=(-3, -2))
+    def patch_metrics(patch, vmask_patch, mask_patch):
+        """(violations, oscillating-cell count) on the valid interior."""
+        inner = slice(half - (period + 1), half + period + 2)
+        b = patch
+        osc = jnp.zeros(patch.shape, bool)
+        for _ in range(period):
+            b = _advance_patch(b)
+            osc = osc | (((b ^ patch) & C.ALIVE) != 0)
+        viol = (b != patch) & vmask_patch
+        n_viol = viol[..., inner, inner, :].sum(axis=(-3, -2))
+        if period == 1:
+            return n_viol, 0
+        n_osc = (osc & mask_patch)[..., inner, inner, :].sum(axis=(-3, -2))
+        return n_viol, n_osc
 
     def anneal_step(board, key):
         k_cell, k_pick = jax.random.split(key)
-        viol_full = (violation_field(board) & viol_mask).reshape(h * w, b)
+        viol_full = (violation_field(board, period)
+                     & viol_mask).reshape(h * w, b)
         n_viol = viol_full.sum(axis=0)
         filled = ((board != 0).reshape(h * w, b) & flat_mask).sum(axis=0)
         filled = filled.astype(jnp.float32)
@@ -167,7 +192,7 @@ def gen_still_lifes(key, mask, batch, board=None, iters=2000, min_fill=0.2,
         patch = gather_patch(board, t_row, t_col)
         vmask_patch = gather_patch(viol_mask, t_row, t_col)
         mask_patch = gather_patch(mask, t_row, t_col)
-        base_viol = patch_violations(patch, vmask_patch)
+        base_viol, base_osc = patch_metrics(patch, vmask_patch, mask_patch)
 
         t = filled / jnp.maximum(min_fill_cells, 1.0)
         empty_pen = jnp.where(t < 0.9, 2.0,
@@ -199,8 +224,12 @@ def gen_still_lifes(key, mask, batch, board=None, iters=2000, min_fill=0.2,
         in_mask = jnp.stack(mask_list)                   # (27, B)
         pens = jnp.stack(pen_list)
 
-        dv = (patch_violations(cands, vmask_patch[None])
-              - base_viol[None]).astype(jnp.float32)     # (27, B)
+        cand_viol, cand_osc = patch_metrics(
+            cands, vmask_patch[None], mask_patch[None])
+        dv = (cand_viol - base_viol).astype(jnp.float32)     # (27, B)
+        if period > 1:
+            dosc = (cand_osc - base_osc).astype(jnp.float32)
+            dv = dv - osc_bonus * dosc
         log_probs = jnp.where(in_mask, -beta * (dv + pens), -1e30)
 
         pick = jax.random.categorical(k_pick, log_probs, axis=0)
@@ -221,7 +250,7 @@ def gen_still_lifes(key, mask, batch, board=None, iters=2000, min_fill=0.2,
 
     keys = jax.random.split(key, iters)
     board, _ = jax.lax.scan(anneal_step, board, keys)
-    viol = (violation_field(board) & viol_mask).reshape(h * w, b)
+    viol = (violation_field(board, period) & viol_mask).reshape(h * w, b)
     filled = ((board != 0).reshape(h * w, b) & flat_mask).sum(axis=0)
     converged = (viol.sum(axis=0) == 0) & (filled >= min_fill_cells)
     return board, converged

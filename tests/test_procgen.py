@@ -205,3 +205,30 @@ def test_on_device_level_factory():
     interior = np.zeros_like(b0, bool); interior[3:-3, 3:-3] = True
     adv = life_numpy.advance_board_reference(b0, 0.0)
     np.testing.assert_array_equal(adv[interior], b0[interior])
+
+
+def test_batched_annealer_oscillators():
+    """period=2 batched annealing yields true period-2 oscillators."""
+    import jax
+    import jax.numpy as jnp
+    from safelife_tpu.procgen.batched import gen_still_lifes
+
+    h = w = 16
+    mask = np.zeros((h, w), bool)
+    mask[3:13, 3:13] = True
+    boards, conv = gen_still_lifes(
+        jax.random.PRNGKey(2), jnp.asarray(mask), batch=16,
+        iters=2500, min_fill=0.1, period=2, temperature=0.7, osc_bonus=0.5)
+    boards = np.asarray(boards)
+    conv = np.asarray(conv)
+    assert conv.mean() >= 0.5, f"only {conv.mean():.0%} converged"
+    oscillating = 0
+    for b in range(16):
+        if not conv[b]:
+            continue
+        board = boards[..., b]
+        a1 = life_numpy.advance_board_reference(board, 0.0)
+        a2 = life_numpy.advance_board_reference(a1, 0.0)
+        np.testing.assert_array_equal(a2, board, err_msg=f"board {b}")
+        oscillating += int((a1 != board).any())
+    assert oscillating >= 1, "no board actually oscillates"
