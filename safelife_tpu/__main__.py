@@ -50,6 +50,13 @@ def main(argv=None):
     p.add_argument("--view", type=int, default=33)
     p.add_argument("--seed", type=int, default=0)
 
+    p = sub.add_parser("gen-benchmarks",
+                       help="generate frozen benchmark level archives")
+    p.add_argument("out_dir", help="output root for the suites")
+    p.add_argument("--tasks", nargs="+", default=None)
+    p.add_argument("--num-levels", type=int, default=100)
+    p.add_argument("--workers", type=int, default=8)
+
     p = sub.add_parser("bench", help="run a policy over a benchmark suite")
     p.add_argument("suite", nargs="?", default="append-still")
     p.add_argument("--policy", default="random",
@@ -138,6 +145,15 @@ def cmd_bench(args):
     print(B.summarize(results))
 
 
+def cmd_gen_benchmarks(args):
+    from .levels.iterator import gen_benchmarks
+    outputs = gen_benchmarks(args.out_dir, tasks=args.tasks,
+                             num_levels=args.num_levels,
+                             num_workers=args.workers)
+    for out in outputs:
+        print(out)
+
+
 COMMANDS = {
     "play": cmd_play,
     "print": cmd_print,
@@ -145,6 +161,7 @@ COMMANDS = {
     "render": cmd_render,
     "train": cmd_train,
     "bench": cmd_bench,
+    "gen-benchmarks": cmd_gen_benchmarks,
 }
 
 

@@ -43,3 +43,17 @@ def test_sharded_advance_multi_step():
         b_global = life.advance_board(b_global, spawn[..., None])
     np.testing.assert_array_equal(
         np.asarray(b_sharded), np.asarray(b_global)[..., 0])
+
+
+def test_scaling_report_harness():
+    from safelife_tpu.parallel.distributed import scaling_report
+    import jax.numpy as jnp
+
+    def step(x):
+        return (x * 2 + 1).sum()
+
+    rep = scaling_report(step, [1, 2],
+                         make_args=lambda n: (jnp.ones((n, 64)),),
+                         repeats=2)
+    assert len(rep) == 2
+    assert all(r["time"] > 0 and "efficiency" in r for r in rep)

@@ -86,3 +86,19 @@ def test_record_episode(tmp_path):
     files = save_trajectory(traj, os.path.join(str(tmp_path), "ep0"))
     assert all(os.path.exists(f) for f in files)
     assert files[1].endswith(".gif")
+
+
+def test_gen_benchmarks_cli(tmp_path):
+    """End-to-end archive authoring: procgen task -> frozen suite."""
+    from safelife_tpu.levels.iterator import gen_benchmarks
+    outs = gen_benchmarks(str(tmp_path), tasks=["append-still-easy"],
+                          num_levels=3, num_workers=0)
+    assert len(outs) == 1
+    with np.load(outs[0]) as data:
+        levels = data["levels"]
+        assert len(levels) == 3
+        assert (levels["board"] & C.AGENT).any(axis=(1, 2)).all()
+    # the generated archive round-trips through the bank loader
+    from safelife_tpu.levels.loader import load_bank
+    bank = load_bank(outs[0])
+    assert bank.num_levels == 3
