@@ -44,7 +44,6 @@ class EnvConfig:
     auto_reset: bool = True
     sequential_levels: bool = False  # round-robin bank order (benchmarking)
     points_on_level_exit: float = 1.0
-    max_exits: int = 4
     can_toggle_powers: bool = False
     can_toggle_colors: bool = False
     compute_obs: bool = True
