@@ -260,14 +260,18 @@ def gen_still_lifes(key, mask, batch, board=None, iters=2000, min_fill=0.2,
 # Fully on-device level factory
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("batch", "h", "w", "iters"))
+@partial(jax.jit, static_argnames=("batch", "h", "w", "iters", "task"))
 def gen_build_levels(key, batch, h=14, w=14, iters=1500, min_fill=0.12,
                      goal_fill=0.15, min_performance=0.3,
-                     temperature=0.45):
-    """Generate a whole bank of single-region build-task levels on device
-    (the append-easy family: a walled region containing a green still life,
-    a blue still-life goal pattern to recreate, player + farthest exit in
-    the border buffer).
+                     temperature=0.45, task="append"):
+    """Generate a whole bank of single-region task levels on device:
+
+    * ``task="append"`` — a green still life plus a blue still-life goal
+      pattern to recreate (the append-easy family),
+    * ``task="prune"`` — a green still life to preserve (board AND goals)
+      plus red distractor life to remove,
+    * ``task="append-spawn"`` — append with a yellow spawner stirring the
+      region (stochastic dynamics, spawn_prob 0.3).
 
     The expensive parts — two batched annealing runs — never leave the
     chip; host code only triggers the final bank assembly.  Returns
@@ -276,7 +280,8 @@ def gen_build_levels(key, batch, h=14, w=14, iters=1500, min_fill=0.12,
     from .. import cells as C
     from ..levels.device_bank import build_bank_from_arrays
 
-    k_pat, k_goal, k_player = jax.random.split(key, 3)
+    assert task in ("append", "prune", "append-spawn")
+    k_pat, k_goal, k_player, k_spawner = jax.random.split(key, 4)
     # Interior pattern region with a 3-cell border buffer (2-cell walkway +
     # wall ring, mirroring the reference's region partition buffers).
     mask = jnp.zeros((h, w), bool).at[3:h - 3, 3:w - 3].set(True)
@@ -284,17 +289,30 @@ def gen_build_levels(key, batch, h=14, w=14, iters=1500, min_fill=0.12,
     boards, conv_b = gen_still_lifes(
         k_pat, mask, batch, iters=iters, min_fill=min_fill,
         temperature=temperature)
-    goal_pat, conv_g = gen_still_lifes(
-        k_goal, mask, batch, iters=iters, min_fill=goal_fill,
-        temperature=temperature)
-
     alive_b = (boards & C.ALIVE) != 0
     board = jnp.where(alive_b, boards | jnp.uint16(C.COLOR_G), boards)
-    alive_g = (goal_pat & C.ALIVE) != 0
-    goals = jnp.where(alive_g,
-                      (goal_pat | jnp.uint16(C.COLOR_B))
-                      & ~jnp.uint16(C.SPAWNING),
-                      jnp.uint16(0))
+
+    if task == "prune":
+        # Second annealing run grows red distractors around the (frozen-
+        # out) green pattern; both patterns end as one joint still life.
+        mask2 = mask[..., None] & (boards == 0)
+        board2, conv_g = gen_still_lifes(
+            k_goal, mask2, batch, board=boards, iters=iters,
+            min_fill=goal_fill, temperature=temperature)
+        new = (board2 != boards) & ((board2 & C.ALIVE) != 0)
+        board = jnp.where(new, board2 | jnp.uint16(C.COLOR_R), board)
+        # Goals: the green pattern only (preserve it; removing red pays).
+        goals = jnp.where(alive_b, (boards | jnp.uint16(C.COLOR_G)),
+                          jnp.uint16(0))
+    else:
+        goal_pat, conv_g = gen_still_lifes(
+            k_goal, mask, batch, iters=iters, min_fill=goal_fill,
+            temperature=temperature)
+        alive_g = (goal_pat & C.ALIVE) != 0
+        goals = jnp.where(alive_g,
+                          (goal_pat | jnp.uint16(C.COLOR_B))
+                          & ~jnp.uint16(C.SPAWNING),
+                          jnp.uint16(0))
 
     # Wall ring just outside the region keeps patterns contained.
     ring = jnp.zeros((h, w), bool)
@@ -330,7 +348,20 @@ def gen_build_levels(key, batch, h=14, w=14, iters=1500, min_fill=0.12,
     goals = jnp.where(buffer_mask[..., None] & (goals == 0),
                       jnp.uint16(C.COLORS), goals)
 
+    spawn_prob = jnp.zeros(batch, jnp.float32)
+    if task == "append-spawn":
+        # One yellow spawner at a random in-region empty cell.
+        g2 = jax.random.gumbel(k_spawner, (h * w, batch))
+        empty = (board == 0) & mask[..., None]
+        s_flat = jnp.argmax(
+            jnp.where(empty.reshape(h * w, batch), 0.0, -1e30) + g2, axis=0)
+        sr, sc = s_flat // w, s_flat % w
+        smask = (rr == sr[None, None, :]) & (cc == sc[None, None, :])
+        board = jnp.where(
+            smask, jnp.uint16(C.SPAWNER | C.COLOR_R | C.COLOR_G), board)
+        spawn_prob = jnp.full(batch, 0.3, jnp.float32)
+
     bank = build_bank_from_arrays(
         board, goals, pr, pc, min_performance=min_performance,
-        static_goals=False)
+        spawn_prob=spawn_prob, static_goals=False)
     return bank, conv_b & conv_g

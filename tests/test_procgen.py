@@ -232,3 +232,24 @@ def test_batched_annealer_oscillators():
         np.testing.assert_array_equal(a2, board, err_msg=f"board {b}")
         oscillating += int((a1 != board).any())
     assert oscillating >= 1, "no board actually oscillates"
+
+
+def test_on_device_factory_prune_and_spawn():
+    import jax
+    from safelife_tpu.procgen.batched import gen_build_levels
+
+    bank_p, conv_p = gen_build_levels(jax.random.PRNGKey(3), batch=8,
+                                      iters=1500, task="prune")
+    assert np.asarray(conv_p).mean() >= 0.5
+    board = np.asarray(bank_p.board)
+    red_life = ((board & C.ALIVE) != 0) & ((board & C.COLOR_R) != 0)
+    green_life = ((board & C.ALIVE) != 0) & ((board & C.COLOR_G) != 0)
+    assert red_life.any() and green_life.any()
+    # removing red improves performance: baseline negative contribution
+    assert (np.asarray(bank_p.possible0) > 0).all()
+
+    bank_s, conv_s = gen_build_levels(jax.random.PRNGKey(4), batch=8,
+                                      iters=1200, task="append-spawn")
+    board = np.asarray(bank_s.board)
+    assert ((board & C.SPAWNING) != 0).sum(axis=(0, 1)).min() == 1
+    assert (np.asarray(bank_s.spawn_prob) == np.float32(0.3)).all()
