@@ -35,7 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import cells as C
 from .life_pallas import LANES, _advance_block, _spawn_field
-from .scoring import _POINTS_FLAT
 
 _DR = (-1, 0, 1, 0)
 _DC = (0, 1, 0, -1)
@@ -49,14 +48,6 @@ def _select_by_orient(o, table):
     out = jnp.int32(table[0])
     for k in (1, 2, 3):
         out = jnp.where(o == k, jnp.int32(table[k]), out)
-    return out
-
-
-def _points_chain(idx):
-    out = jnp.zeros_like(idx)
-    for k, v in enumerate(np.asarray(_POINTS_FLAT).reshape(-1)):
-        if v:
-            out = out + jnp.int32(int(v)) * (idx == k)
     return out
 
 
