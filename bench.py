@@ -5,9 +5,20 @@ Measures the FULL environment step — agent action, two CA advances
 bank, and observation extraction — for B lockstep environments under one
 jitted scan, on real benchmark levels (append-still, 26x26).
 
+Before timing, a hardware SELFTEST certifies the fused Pallas fast path on
+this chip: fused env.step must reproduce the XLA path (itself golden-tested
+against the reference C engine) bit-for-bit over a multi-episode rollout,
+and the in-core PRNG spawn sampling must be seed-deterministic with the
+right spawn rate.  A failed selftest aborts the bench (nonzero exit), so
+every recorded BENCH_r*.json also certifies correctness of the kernels
+that produced it.
+
 Prints ONE JSON line:
     {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
      "vs_baseline": N / 10e6}
+plus '#'-comment lines on stderr: the dynamic-goals variant (goal board is
+NOT a CA fixed point, so both CA advances run — the *-spawn-like worst
+case) and device/config details.
 
 Baseline = the north-star target from BASELINE.md (10M env-steps/s per
 host); the reference implementation itself steps a single board per Python
@@ -19,17 +30,21 @@ import os
 import sys
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
+import safelife_tpu.cells as C
 from safelife_tpu.env.env import BatchedSafeLifeEnv, EnvConfig
 from safelife_tpu.levels import loader, synth
+from safelife_tpu.ops import life_pallas
 
 BASELINE_STEPS_PER_S = 10e6  # north-star from BASELINE.md
 
 BATCH = int(os.environ.get("BENCH_BATCH", 16384))
 STEPS = int(os.environ.get("BENCH_STEPS", 160))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
+ROLLOUT = 20  # fresh-level cadence == PPO steps_per_env
 
 
 def load_benchmark_bank():
@@ -39,29 +54,98 @@ def load_benchmark_bank():
         return synth.synth_bank(64, h=26, w=26, spawners=True)
 
 
-def main():
-    bank = load_benchmark_bank()
+# --------------------------------------------------------------------------
+# Hardware selftest of the fused fast path.
+# --------------------------------------------------------------------------
+
+def _rollout_trace(env, bank, actions, b):
+    key = jax.random.key(123)
+    state = env.reset_to_levels(bank, jnp.arange(b) % bank.num_levels)
+    fresh = env.sample_fresh_levels(bank, b, jax.random.key(7))
+    trace = []
+    for t in range(actions.shape[0]):
+        state, ts = env.step(state, bank, jnp.asarray(actions[t]), key,
+                             fresh_levels=fresh)
+        trace.append(jax.device_get(dict(
+            board=state.board, goals=state.goals, reward=ts.reward,
+            done=ts.done, agent_row=state.agent_row,
+            agent_col=state.agent_col, points=state.points_last,
+            comp=ts.perf_completed, poss=ts.perf_possible, obs=ts.obs)))
+    return trace
+
+
+def selftest(bank):
+    """Fused-vs-XLA bit-equality + PRNG sanity on the real device."""
+    if not life_pallas.available():
+        print("# selftest skipped: no TPU backend", file=sys.stderr)
+        return
+    b = 256
+    # 1. Multi-episode rollout equivalence on spawner-free levels (the
+    #    spawn draw is masked out, so both paths are deterministic).
+    assert not (np.asarray(bank.board) & C.SPAWNING).any()
+    actions = np.random.RandomState(9).randint(0, 9, (12, b))
+    cfg = dict(time_limit=6, auto_reset=True)
+    tr_fused = _rollout_trace(
+        BatchedSafeLifeEnv(EnvConfig(**cfg)), bank, actions, b)
+    tr_xla = _rollout_trace(
+        BatchedSafeLifeEnv(EnvConfig(use_pallas=False, **cfg)),
+        bank, actions, b)
+    for t, (a, x) in enumerate(zip(tr_fused, tr_xla)):
+        for k in a:
+            np.testing.assert_array_equal(
+                a[k], x[k], err_msg=f"fused!=xla at step {t}, field {k}")
+
+    # 2. In-core PRNG: seed-deterministic, seed-sensitive, correct rate.
+    h = w = 8
+    board = np.zeros((h, w, b), np.uint16)
+    board[3, 3, :] = C.SPAWNER
+    goals = jnp.zeros((h, w, b), jnp.uint16)
+    p = 0.3
+    probs = jnp.full(b, p, jnp.float32)
+    outs = {}
+    spawned = total = 0
+    for seed in (0, 1, 2, 3, 4, 0):
+        out, _ = life_pallas.advance_both(jnp.asarray(board), goals, probs,
+                                          seed=seed)
+        outs.setdefault(seed, []).append(np.asarray(out))
+    np.testing.assert_array_equal(outs[0][0], outs[0][1],
+                                  err_msg="same seed must reproduce")
+    assert not np.array_equal(outs[0][0], outs[1][0]), "seeds must differ"
+    for seed, (out, *_) in outs.items():
+        neigh = out[2:5, 2:5, :]
+        born = (neigh & 1).astype(bool)  # spawner itself is dead+frozen
+        assert not born[1, 1].any()
+        spawned += int(born.sum())
+        total += 8 * b
+        assert (neigh[born] == (C.ALIVE | C.DESTRUCTIBLE)).all()
+    rate = spawned / total
+    sigma = (p * (1 - p) / total) ** 0.5
+    assert abs(rate - p) < 5 * sigma, f"spawn rate {rate:.4f} vs p={p}"
+    print(f"# selftest OK: fused==xla over {len(actions)} steps x {b} envs; "
+          f"spawn rate {rate:.4f} (p={p})", file=sys.stderr)
+
+
+# --------------------------------------------------------------------------
+# Timing.
+# --------------------------------------------------------------------------
+
+def time_env(bank, batch, steps):
     env = BatchedSafeLifeEnv(EnvConfig(view_shape=(15, 15)))
     key = jax.random.PRNGKey(0)
     k_reset, k_run = jax.random.split(key)
-    state = env.reset_all(bank, BATCH, k_reset)
-
-    # Fresh reset levels are pre-gathered once per 20-step window — the
-    # training rollout cadence (PPO steps_per_env=20); see
-    # BatchedSafeLifeEnv.sample_fresh_levels.
-    ROLLOUT = 20
+    state = env.reset_all(bank, batch, k_reset)
 
     @jax.jit
     def run(state, key):
         def outer(carry, _):
             state, key = carry
             key, k_fresh = jax.random.split(key)
-            fresh = env.sample_fresh_levels(bank, BATCH, k_fresh)
+            fresh = env.sample_fresh_levels(bank, batch, k_fresh)
 
             def body(carry, _):
                 state, key = carry
                 key, k_act, k_env = jax.random.split(key, 3)
-                action = jax.random.randint(k_act, (BATCH,), 0, 9)
+                action = jax.random.randint(k_act, (batch,), 0, 9)
                 state, ts = env.step(state, bank, action, k_env,
                                      fresh_levels=fresh)
                 return (state, key), ts.reward.sum()
@@ -69,20 +153,25 @@ def main():
                 body, (state, key), length=ROLLOUT)
             return (state, key), rewards.sum()
         (state, key), rewards = jax.lax.scan(
-            outer, (state, key), length=STEPS // ROLLOUT)
+            outer, (state, key), length=steps // ROLLOUT)
         return state, key, rewards.sum()
 
-    # Warmup / compile.
-    state, k_run, _ = jax.block_until_ready(run(state, k_run))
-
+    state, k_run, _ = jax.block_until_ready(run(state, k_run))  # compile
     best = float("inf")
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         state, k_run, r = run(state, k_run)
         jax.block_until_ready(r)
         best = min(best, time.perf_counter() - t0)
+    return batch * (steps // ROLLOUT) * ROLLOUT / best, state
 
-    steps_per_s = BATCH * (STEPS // ROLLOUT) * ROLLOUT / best
+
+def main():
+    bank = load_benchmark_bank()
+    if os.environ.get("BENCH_SELFTEST", "1") != "0":
+        selftest(bank)
+
+    steps_per_s, state = time_env(bank, BATCH, STEPS)
     print(json.dumps({
         "metric": "env_steps_per_sec",
         "value": round(steps_per_s),
@@ -90,8 +179,19 @@ def main():
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
     }))
     print(f"# device={jax.devices()[0].device_kind} batch={BATCH} "
-          f"steps={STEPS} best_time={best:.4f}s "
-          f"global_steps={int(state.num_steps)}", file=sys.stderr)
+          f"steps={STEPS} global_steps={int(state.num_steps)}",
+          file=sys.stderr)
+
+    # Worst-case variant: spawners on the board AND a goal board that is
+    # not a CA fixed point, so the fused kernel advances both boards
+    # (static_goals=False) with live spawn sampling.
+    dyn_bank = synth.synth_bank(64, h=26, w=26, spawners=True,
+                                dynamic_goals=True)
+    assert not dyn_bank.static_goals
+    dyn_steps_per_s, _ = time_env(dyn_bank, BATCH, STEPS)
+    print(f"# dynamic_goals_env_steps_per_sec={round(dyn_steps_per_s)} "
+          f"({dyn_steps_per_s / BASELINE_STEPS_PER_S:.4f}x baseline)",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,9 @@ class EnvConfig:
     can_toggle_colors: bool = False
     compute_obs: bool = True
     use_pallas: bool = True  # fused CA kernel on TPU (fast path only)
+    # Force the fused Pallas path in interpret mode (TPU emulation on any
+    # backend) — CI uses this to test the kernels bit-for-bit on CPU.
+    pallas_interpret: bool = False
 
 
 class TimeStep(struct.PyTreeNode):
@@ -206,8 +209,11 @@ class BatchedSafeLifeEnv:
             state.perf_completed, state.perf_possible, state.min_performance)
 
         k_board, k_goals, k_reset = jax.random.split(key, 3)
+        pallas_ok = (life_pallas.available(state.batch_size)
+                     or (cfg.pallas_interpret
+                         and state.batch_size % life_pallas.LANES == 0))
         fused = (spawn_board is None and spawn_goals is None
-                 and cfg.use_pallas and life_pallas.available(state.batch_size)
+                 and cfg.use_pallas and pallas_ok
                  and not cfg.can_toggle_powers and not cfg.can_toggle_colors)
         effect_count = None
         reset_boards = None
@@ -234,6 +240,8 @@ class BatchedSafeLifeEnv:
                 state.agent_row, state.agent_col, state.orientation,
                 prev_over, ce0, state.baseline_score,
                 state.spawn_prob, state.min_performance, seed,
+                interpret=(life_pallas.interpret_params()
+                           if cfg.pallas_interpret else False),
                 static_goals=bank.static_goals,
                 init_goals=state.init_goals,
                 episode_length=state.episode_length,

@@ -10,10 +10,14 @@ import numpy as np
 from .. import cells as C
 
 
-def simple_level(h=26, w=26, spawners=False, seed=0):
+def simple_level(h=26, w=26, spawners=False, seed=0, dynamic_goals=False):
     """A walled level with some life, a goal patch, an agent and an exit.
 
     Returns a level dict compatible with ``loader.build_bank``.
+    ``dynamic_goals`` puts live cells and a spawner on the GOAL board so it
+    is not a CA fixed point — the bank then exercises the goals-CA half of
+    the env step (reference ``safelife_game.py:657-660`` always advances
+    both boards; the *-still suites merely happen to have still goals).
     """
     rng = np.random.RandomState(seed)
     board = np.zeros((h, w), np.uint16)
@@ -30,6 +34,10 @@ def simple_level(h=26, w=26, spawners=False, seed=0):
     goals[2:2 + gh, 2:2 + gw] = C.COLOR_B
     if spawners:
         board[h // 2, w // 2] = C.SPAWNER | C.COLOR_G
+    if dynamic_goals:
+        # A blinker plus a spawner keep the goal board evolving forever.
+        goals[h - 4, 2:5] = C.LIFE | C.COLOR_G
+        goals[3, w - 4] = C.SPAWNER | C.COLOR_B
     # Agent bottom-left-ish, exit top-right corner.
     ar, ac = h - 2, 1
     board[ar, ac] = C.PLAYER
@@ -44,8 +52,9 @@ def simple_level(h=26, w=26, spawners=False, seed=0):
     )
 
 
-def synth_bank(num_levels=8, h=26, w=26, spawners=False):
+def synth_bank(num_levels=8, h=26, w=26, spawners=False, dynamic_goals=False):
     from .loader import build_bank
     return build_bank(
-        [simple_level(h, w, spawners=spawners, seed=i)
+        [simple_level(h, w, spawners=spawners, seed=i,
+                      dynamic_goals=dynamic_goals)
          for i in range(num_levels)])

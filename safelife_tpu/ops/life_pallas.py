@@ -138,6 +138,43 @@ def advance_both(board, goals, spawn_prob, seed, interpret=False):
       board, goals)
 
 
+def _field_kernel(board_ref, spawn_ref, out_ref):
+    out_ref[:] = _advance_block(
+        board_ref[:].astype(jnp.int32), spawn_ref[:] != 0).astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def advance_with_field(board, spawn, interpret=False):
+    """Advance boards one CA step with a caller-supplied spawn field.
+
+    This runs the exact ``_advance_block`` the fused kernels use, but with
+    the randomness injected (like :func:`safelife_tpu.ops.life.advance_board`)
+    instead of drawn in-core — the hook for bit-exact equivalence tests of
+    the Pallas rule implementation against the XLA path and the C-engine
+    goldens (``speedups_src/advance_board.c:34-120``).
+
+    board: (H, W, B) uint16, B % 128 == 0.  spawn: same shape, bool.
+    """
+    h, w, b = board.shape
+    assert b % LANES == 0, f"batch {b} must be a multiple of {LANES}"
+    board_spec = pl.BlockSpec((h, w, LANES), lambda i: (0, 0, i),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _field_kernel,
+        grid=(b // LANES,),
+        in_specs=[board_spec, board_spec],
+        out_specs=board_spec,
+        out_shape=jax.ShapeDtypeStruct((h, w, b), jnp.uint16),
+        interpret=interpret,
+    )(board, spawn.astype(jnp.uint16))
+
+
+def interpret_params():
+    """Interpret-mode token that emulates the TPU primitives (in-core PRNG,
+    ``pltpu.roll``) on any backend — lets CI run the fused kernels on CPU."""
+    return pltpu.InterpretParams()
+
+
 def available(batch_size=None):
     """True when the fused kernel can run here (TPU + lane-aligned batch)."""
     on_tpu = jax.default_backend() in ("tpu", "axon")
