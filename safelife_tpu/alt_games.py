@@ -2,24 +2,40 @@
 
 Capability parity with the reference's experimental classes
 (``safelife/safelife_game.py:667-832``): :class:`GameOfLife` exposes
-configurable born/survive rules via a whole-board convolution step, and
+configurable born/survive rules via a whole-board vectorized step, and
 :class:`AsyncGame` updates cells one at a time with energy rules + a
 temperature (conway / ising / vine rule sets).
+
+Both engines here are expressed with ``np.roll`` torus stencils and
+rule-membership tests rather than scipy convolutions; the update semantics
+match the reference classes.
 """
 
 import numpy as np
-from scipy.signal import convolve2d
 
 from . import cells as C
 from .game import SafeLifeGame
 
 
-def _wrap_conv(x, cfilter):
-    return convolve2d(x, cfilter, mode="same", boundary="wrap")
+def _ring_sum(x):
+    """Sum over the 8 torus neighbors (self EXCLUDED — B/S rules count
+    neighbors only)."""
+    acc = np.zeros(x.shape, np.int32)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di or dj:
+                acc += np.roll(x, (di, dj), axis=(0, 1)).astype(np.int32)
+    return acc
 
 
 class GameOfLife(SafeLifeGame):
-    """Generalized B/S cellular automaton (default B3/S23)."""
+    """Generalized B/S cellular automaton (default B3/S23).
+
+    One vectorized step: count live/spawner neighbors, apply the
+    born/survive membership rules gated by freezing powers, draw spawn
+    events, then rebuild the changed cells with inherited colors and
+    destructibility.
+    """
 
     survive_rule = (2, 3)
     born_rule = (3,)
@@ -27,49 +43,64 @@ class GameOfLife(SafeLifeGame):
     def advance_board(self):
         self.num_steps += 1
         board = self.board
-        cfilter = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], np.uint16)
+        alive = (board & C.ALIVE) != 0
+        spawning = (board & C.SPAWNING) != 0
+        frozen = (board & C.FROZEN) != 0
 
-        alive = (board & C.ALIVE) > 0
-        spawning = (board & C.SPAWNING) > 0
-        frozen = (board & C.FROZEN) > 0
+        # Freezing powers act on the 8 neighbors (a cell's own preserving /
+        # inhibiting flag does not protect itself).
+        may_die = ~frozen & (_ring_sum(board & C.PRESERVING) == 0)
+        may_grow = ~frozen & (_ring_sum(board & C.INHIBITING) == 0)
 
-        can_die = ~frozen & (_wrap_conv(board & C.PRESERVING, cfilter) == 0)
-        can_grow = ~frozen & (_wrap_conv(board & C.INHIBITING, cfilter) == 0)
+        n_alive = _ring_sum(alive)
+        n_spawn = _ring_sum(spawning)
+        # Each neighboring spawner is an independent spawn chance.
+        spawn_hit = np.random.random(board.shape) \
+            < 1 - (1 - self.spawn_prob) ** n_spawn
 
-        num_neighbors = _wrap_conv(alive, cfilter)
-        num_spawn = _wrap_conv(spawning, cfilter)
-        spawn_prob = 1 - (1 - self.spawn_prob) ** num_spawn
-        has_spawned = np.random.random(board.shape) < spawn_prob
+        births = (np.isin(n_alive, self.born_rule) | spawn_hit) \
+            & ~alive & may_grow
+        deaths = ~np.isin(n_alive, self.survive_rule) & alive & may_die
 
-        born_rule = np.zeros(9, bool)
-        born_rule[list(self.born_rule)] = True
-        dead_rule = np.ones(9, bool)
-        dead_rule[list(self.survive_rule)] = False
-
-        new_alive = (born_rule[num_neighbors] | has_spawned) \
-            & ~alive & can_grow
-        new_dead = dead_rule[num_neighbors] & alive & can_die
-
-        new_flags = np.zeros_like(board)
-        color_weights = 1 * alive + 2 * spawning
+        # New cells inherit any color carried by >= 2 weighted neighbors
+        # (live cells weigh 1, spawners 2), and are destructible unless
+        # >= 2 neighbors are indestructible life.
+        weight = alive + 2 * spawning
+        inherited = np.zeros_like(board)
         for color in C.COLOR_TUPLE:
-            has_color = (board & color) > 0
-            new_color = _wrap_conv(has_color * color_weights, cfilter) >= 2
-            new_flags += np.uint16(color) * new_color
-        indestructible = alive & ((board & C.DESTRUCTIBLE) == 0)
-        new_flags += np.uint16(C.DESTRUCTIBLE) * \
-            (_wrap_conv(indestructible, cfilter) < 2)
+            carried = _ring_sum(((board & color) != 0) * weight) >= 2
+            inherited |= np.uint16(color) * carried
+        hard = alive & ((board & C.DESTRUCTIBLE) == 0)
+        inherited |= np.uint16(C.DESTRUCTIBLE) * (_ring_sum(hard) < 2)
 
-        board *= ~(new_alive | new_dead)
-        board += new_alive * (np.uint16(C.ALIVE) + new_flags)
+        self.board = np.where(
+            births, np.uint16(C.ALIVE) | inherited,
+            np.where(deaths, np.uint16(C.EMPTY), board)).astype(np.uint16)
 
     @property
     def is_stochastic(self):
         return (self.board & C.SPAWNING).any()
 
 
+# Neighbor offsets (row, col) for the Von Neumann, hexagonal and Moore
+# neighborhoods used by the async energy rules.
+_NEIGHBOR_OFFSETS = {
+    4: ((-1, 0), (0, -1), (0, 1), (1, 0)),
+    6: ((-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0)),
+    8: ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+        (0, 1), (1, -1), (1, 0), (1, 1)),
+}
+
+
 class AsyncGame(SafeLifeGame):
-    """Asynchronous per-cell stochastic updates with energy rules."""
+    """Asynchronous per-cell stochastic updates with energy rules.
+
+    Each board update touches ``cells_per_update * board.size`` random
+    cells; a touched cell flips alive/dead with a logistic probability of
+    the energy difference given its live-neighbor count, boosted by
+    adjacent spawners.  Frozen cells and cells next to freezing powers
+    never change.
+    """
 
     energy_rule_sets = {
         "conway": (
@@ -102,35 +133,27 @@ class AsyncGame(SafeLifeGame):
 
     def advance_board(self):
         board = self.board
-        rules = self.energy_rules
+        live_energy, dead_energy = self.energy_rules
+        n_neighbors = len(live_energy) - 1
+        if n_neighbors not in _NEIGHBOR_OFFSETS:
+            raise RuntimeError("async rules must have length 5, 7, or 9")
+        offsets = _NEIGHBOR_OFFSETS[n_neighbors]
         h, w = board.shape
         beta = 1.0 / max(1e-20, self.temperature)
-        n_nb = len(rules[0]) - 1
-        if n_nb == 4:
-            neighborhood = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]])
-        elif n_nb == 6:
-            neighborhood = np.array([[0, 1, 1], [1, 0, 1], [1, 1, 0]])
-        elif n_nb == 8:
-            neighborhood = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]])
-        else:
-            raise RuntimeError("async rules must have length 5, 7, or 9")
         self.num_steps += 1
+
         for _ in range(int(board.size * self.cells_per_update)):
             x = np.random.randint(w)
             y = np.random.randint(h)
-            if board[y, x] & C.FROZEN:
+            cell = board[y, x]
+            if cell & C.FROZEN:
                 continue
-            rows = (np.arange(y - 1, y + 2) % h)[:, None]
-            cols = (np.arange(x - 1, x + 2) % w)[None, :]
-            neighbors = board[rows, cols] * neighborhood
-            alive_neighbors = int(np.sum((neighbors & C.ALIVE) > 0))
-            spawn_neighbors = int(np.sum((neighbors & C.SPAWNING) > 0))
-            if np.sum(neighbors & C.FREEZING) > 0:
+            ring = [board[(y + dy) % h, (x + dx) % w] for dy, dx in offsets]
+            if any(v & C.FREEZING for v in ring):
                 continue
-            if board[y, x] & C.ALIVE:
-                energy = rules[0][alive_neighbors]
-            else:
-                energy = rules[1][alive_neighbors]
-            p = 0.5 + 0.5 * np.tanh(energy * beta)
-            p = 1 - (1 - p) * (1 - self.spawn_prob) ** spawn_neighbors
-            board[y, x] = C.LIFE if np.random.random() < p else C.EMPTY
+            n_alive = sum(bool(v & C.ALIVE) for v in ring)
+            n_spawn = sum(bool(v & C.SPAWNING) for v in ring)
+            energy = (live_energy if cell & C.ALIVE else dead_energy)[n_alive]
+            p_live = 0.5 * (1 + np.tanh(energy * beta))
+            p_live = 1 - (1 - p_live) * (1 - self.spawn_prob) ** n_spawn
+            board[y, x] = C.LIFE if np.random.random() < p_live else C.EMPTY

@@ -34,6 +34,10 @@ ORIENTATION = {
     "BACKWARD": 6,
 }
 
+# Forward step vector (row, col) per orientation; the right-hand vector of
+# orientation o is the forward vector of (o + 1) % 4.
+_DIR = ((-1, 0), (0, 1), (1, 0), (0, -1))
+
 _EDIT_TOGGLES = {
     "ALIVE": C.ALIVE,
     "INHIBITING": C.INHIBITING,
@@ -107,13 +111,14 @@ class SafeLifeGame:
             (self.edit_color & C.COLORS) >> C.COLOR_BIT]
 
     def relative_loc(self, n_forward, n_right=0):
-        """Location relative to the agent (wraps; reference :296-308)."""
-        dx = n_right
-        dy = -n_forward
-        for _ in range(self.orientation):
-            dx, dy = -dy, dx
+        """(x, y) of the cell ``n_forward``/``n_right`` of the agent,
+        torus-wrapped (reference ``relative_loc`` semantics)."""
+        fr, fc = _DIR[self.orientation]
+        rr, rc = _DIR[(self.orientation + 1) % 4]
         x0, y0 = self.agent_loc
-        return (x0 + dx) % self.width, (y0 + dy) % self.height
+        row = (y0 + n_forward * fr + n_right * rr) % self.height
+        col = (x0 + n_forward * fc + n_right * rc) % self.width
+        return col, row
 
     # -- serialization (wire-compatible with the reference) ----------------
 
@@ -181,155 +186,183 @@ class SafeLifeGame:
 
     # -- actions ------------------------------------------------------------
 
-    def move_agent(self, dy, dx=0):
-        """Move/push/pull; returns reward (reference :310-345)."""
-        x0, y0 = self.agent_loc
-        x1, y1 = self.relative_loc(dy, dx)
-        x2, y2 = self.relative_loc(-dy, -dx)
-        can_push = (abs(dy), dx) == (1, 0)
+    def move_agent(self, direction):
+        """One-cell move along ``direction`` (+1 forward, -1 backward) with
+        push/pull and exit detection; returns the exit reward.
+
+        Same classify-then-apply structure as the batched masked-write
+        model (``ops/agent.py:93-126``), specialized to one board: read the
+        four cells on the movement axis, decide the outcome, then apply
+        the writes front-to-back.
+        """
         board = self.board
-        reward = 0
-        if board[y1, x1] == C.EMPTY:
-            board[y1, x1] = board[y0, x0]
-            board[y0, x0] = C.EMPTY
-            self.agent_loc = (x1, y1)
-        elif (board[y1, x1] & C.EXIT) and self.can_exit():
+        x0, y0 = self.agent_loc
+        x1, y1 = self.relative_loc(direction)
+        x3, y3 = self.relative_loc(2 * direction)
+        front = board[y1, x1]
+
+        if front & C.EXIT and self.can_exit():
             self.game_over = True
-            reward += self.points_on_level_exit
-        elif can_push and board[y1, x1] & C.PUSHABLE:
-            x3, y3 = self.relative_loc(dy * 2)
-            if board[y3, x3] == C.EMPTY:
-                board[y3, x3] = board[y1, x1]
-                board[y1, x1] = board[y0, x0]
-                board[y0, x0] = C.EMPTY
-                self.agent_loc = (x1, y1)
-            elif board[y3, x3] & C.EXIT:
-                board[y1, x1] = board[y0, x0]
-                board[y0, x0] = C.EMPTY
-                self.agent_loc = (x1, y1)
-        agent_did_move = self.agent_loc == (x1, y1) and (x0, y0) != (x1, y1)
-        if can_push and board[y2, x2] & C.PULLABLE and agent_did_move:
-            board[y0, x0] = board[y2, x2]
+            return self.points_on_level_exit
+
+        # Outcome: step into empty space, push a movable into empty space,
+        # or push a movable out through an exit (it vanishes).  Anything
+        # else blocks.
+        step = front == C.EMPTY
+        push = push_out = False
+        if not step and front & C.PUSHABLE:
+            beyond = board[y3, x3]
+            push = beyond == C.EMPTY
+            push_out = not push and bool(beyond & C.EXIT)
+        if not (step or push or push_out):
+            return 0
+
+        x2, y2 = self.relative_loc(-direction)  # before agent_loc moves
+        if push:
+            board[y3, x3] = front
+        board[y1, x1] = board[y0, x0]
+        board[y0, x0] = C.EMPTY
+        self.agent_loc = (x1, y1)
+        # Anything pullable behind the agent follows into the vacated cell.
+        trailing = board[y2, x2]
+        if trailing & C.PULLABLE:
+            board[y0, x0] = trailing
             board[y2, x2] = C.EMPTY
-        return reward
+        return 0
 
     def execute_action(self, action):
-        """Execute a named action; returns reward (reference :347-393)."""
-        board = self.board
-        reward = 0
+        """Execute a named action (MOVE/TURN/FACE/TOGGLE/RESTART); returns
+        the reward (reference ``execute_action`` semantics)."""
         if self.game_over:
-            pass
-        elif action.startswith("MOVE "):
-            direction = ORIENTATION[action[5:]]
-            if direction < 4:
-                self.orientation = direction
-                reward = self.move_agent(1)
-            else:
-                reward = self.move_agent(5 - direction)
-        elif action.startswith("TURN "):
-            self.orientation += 2 - ORIENTATION[action[5:]]
-            self.orientation %= 4
-        elif action.startswith("FACE "):
-            self.orientation = ORIENTATION[action[5:]]
-        elif action.startswith("TOGGLE"):
-            if len(action) > 6:
-                self.orientation = ORIENTATION[action[7:]]
-            x0, y0 = self.agent_loc
-            x1, y1 = self.relative_loc(1)
-            player_color = board[y0, x0] & C.COLORS
-            target_cell = board[y1, x1]
-            if target_cell == C.EMPTY:
-                board[y1, x1] = C.LIFE | player_color
-            elif target_cell & C.DESTRUCTIBLE:
-                board[y1, x1] = C.EMPTY
-            else:
-                toggle_bits = C.POWERS * self.can_toggle_powers
-                toggle_bits |= C.COLORS * self.can_toggle_colors
-                board[y0, x0] ^= board[y1, x1] & toggle_bits
+            return 0
+        verb, _, arg = action.partition(" ")
+        if verb == "MOVE":
+            d = ORIENTATION[arg]
+            if d < 4:  # absolute move: face the direction, then step
+                self.orientation = d
+                return self.move_agent(1)
+            return self.move_agent(5 - d)  # FORWARD -> +1, BACKWARD -> -1
+        if verb == "TURN":  # TURN RIGHT -> +1, TURN LEFT -> -1
+            self.orientation = (self.orientation + 2 - ORIENTATION[arg]) % 4
+        elif verb == "FACE":
+            self.orientation = ORIENTATION[arg]
+        elif verb == "TOGGLE":
+            if arg:
+                self.orientation = ORIENTATION[arg]
+            self._toggle_front()
         elif action == "RESTART":
             self.game_over = "RESTART"
-        return reward
+        return 0
+
+    def _toggle_front(self):
+        """Create life in the empty cell ahead, destroy a destructible one,
+        or absorb toggleable powers/colors from an indestructible one."""
+        board = self.board
+        x0, y0 = self.agent_loc
+        x1, y1 = self.relative_loc(1)
+        front = board[y1, x1]
+        if front == C.EMPTY:
+            board[y1, x1] = C.LIFE | (board[y0, x0] & C.COLORS)
+        elif front & C.DESTRUCTIBLE:
+            board[y1, x1] = C.EMPTY
+        else:
+            absorbable = (C.POWERS * self.can_toggle_powers
+                          | C.COLORS * self.can_toggle_colors)
+            board[y0, x0] ^= front & absorbable
 
     # -- editing ------------------------------------------------------------
 
+    def _cycle_edit_color(self, full_cycle):
+        """Advance the editor's paint color; returns the status message."""
+        if full_cycle:
+            # Counting in color-space walks all 8 colors (R is the low bit).
+            self.edit_color += C.COLOR_R
+        else:
+            # Primary cycle: black -> red -> green -> blue -> black.
+            self.edit_color = self.edit_color << 1 if self.edit_color \
+                else C.COLOR_R
+        self.edit_color &= C.COLORS
+        return "EDIT COLOR: " + self.edit_color_name
+
     def execute_edit(self, command):
-        """Board editor commands (reference :395-462)."""
+        """Board editor commands (reference ``execute_edit`` semantics);
+        returns an optional status message."""
+        goal_prefix = "EDIT GOALS: "
+        if command.startswith(goal_prefix):
+            # Apply the rest of the command against the goal board by
+            # swapping the two planes around the edit (the reference's
+            # GameWithGoals does the same swap dance).
+            self.board, self.goals = self.goals, self.board
+            try:
+                return self.execute_edit(command[len(goal_prefix):])
+            finally:
+                self.board, self.goals = self.goals, self.board
+
         board = self.board
         x0, y0 = self.agent_loc
         x1, y1 = self.edit_loc
-        if command.startswith("MOVE "):
-            direction = ORIENTATION[command[5:]]
-            if direction % 2 == 0:
-                dx, dy = 0, direction - 1
-            else:
-                dx, dy = 2 - direction, 0
-            self.edit_loc = ((x1 + dx) % self.width, (y1 + dy) % self.height)
+        verb, _, arg = command.partition(" ")
+
+        if verb == "MOVE":
+            dr, dc = _DIR[ORIENTATION[arg]]
+            self.edit_loc = ((x1 + dc) % self.width,
+                             (y1 + dr) % self.height)
         elif command == "PUT AGENT":
-            agent = board[y0, x0] & ~np.uint16(C.COLORS)
-            board[y0, x0] = 0
-            board[y1, x1] = agent | self.edit_color
+            # Relocate the agent, painting it with the edit color.
+            body = board[y0, x0] & ~np.uint16(C.COLORS)
+            board[y0, x0] = C.EMPTY
+            board[y1, x1] = body | self.edit_color
             self.agent_loc = self.edit_loc
-        elif (command.startswith("PUT ") and command[4:] in NAMED_CELLS
-                and self.agent_loc != self.edit_loc):
-            board[y1, x1] = NAMED_CELLS[command[4:]]
-            if board[y1, x1]:
-                board[y1, x1] |= self.edit_color
-        elif command.startswith("CHANGE COLOR"):
-            if command.endswith("FULL CYCLE"):
-                self.edit_color += C.COLOR_R
-            elif self.edit_color:
-                self.edit_color <<= 1
-            else:
-                self.edit_color = C.COLOR_R
-            self.edit_color &= C.COLORS
-            return "EDIT COLOR: " + self.edit_color_name
-        elif command.startswith("TOGGLE ") and command[7:] in _EDIT_TOGGLES:
-            board[y0, x0] ^= np.uint16(_EDIT_TOGGLES[command[7:]])
+        elif verb == "PUT" and arg in NAMED_CELLS \
+                and self.edit_loc != self.agent_loc:
+            cell = NAMED_CELLS[arg]
+            board[y1, x1] = cell | self.edit_color if cell else cell
+        elif verb == "CHANGE" and arg.startswith("COLOR"):
+            return self._cycle_edit_color(arg.endswith("FULL CYCLE"))
+        elif verb == "TOGGLE" and arg in _EDIT_TOGGLES:
+            board[y0, x0] ^= np.uint16(_EDIT_TOGGLES[arg])
         elif command == "REVERT":
             if not self.revert():
                 return "No saved state; cannot revert."
         elif command == "ABORT LEVEL":
             self.game_over = "ABORT LEVEL"
-        elif command.startswith("EDIT GOALS: "):
-            # Run an edit against the goal board (reference GameWithGoals
-            # swaps board and goals around the edit, :567-575).
-            self.board, self.goals = self.goals, self.board
-            try:
-                return self.execute_edit(command[len("EDIT GOALS: "):])
-            finally:
-                self.board, self.goals = self.goals, self.board
         self.update_exit_locs()
 
     # -- board utilities ------------------------------------------------------
 
     def shift_board(self, dx, dy):
-        self.board = np.roll(np.roll(self.board, dy, axis=0), dx, axis=1)
-        self.goals = np.roll(np.roll(self.goals, dy, axis=0), dx, axis=1)
-        self.agent_loc = tuple(
-            (np.array(self.agent_loc) + [dx, dy]) % [self.width, self.height])
+        """Translate the whole game (both planes + agent) on the torus."""
+        self.board = np.roll(self.board, (dy, dx), axis=(0, 1))
+        self.goals = np.roll(self.goals, (dy, dx), axis=(0, 1))
+        x, y = self.agent_loc
+        self.agent_loc = ((x + dx) % self.width, (y + dy) % self.height)
         self.update_exit_locs()
 
     def resize_board(self, dx, dy):
-        height, width = self.board.shape
-        if width + dx <= 0 or height + dy <= 0:
+        """Grow (zero-pad bottom/right) or shrink (crop) both planes."""
+        h2, w2 = self.height + dy, self.width + dx
+        if h2 <= 0 or w2 <= 0:
             raise ValueError("Cannot resize to zero.")
-        for name in ("board", "goals"):
-            old = getattr(self, name)
-            new = np.zeros((height + dy, width + dx), dtype=old.dtype)
-            h = height + min(0, dy)
-            w = width + min(0, dx)
-            new[:h, :w] = old[:h, :w]
-            setattr(self, name, new)
-        self.agent_loc = tuple(
-            np.array(self.agent_loc) % [self.width, self.height])
+
+        def refit(plane):
+            out = np.zeros((h2, w2), plane.dtype)
+            hh = min(h2, plane.shape[0])
+            ww = min(w2, plane.shape[1])
+            out[:hh, :ww] = plane[:hh, :ww]
+            return out
+
+        self.board = refit(self.board)
+        self.goals = refit(self.goals)
+        x, y = self.agent_loc
+        self.agent_loc = (x % w2, y % h2)
         self.update_exit_locs()
 
     def clip_board(self, left=0, right=0, top=0, bottom=0):
-        height, width = self.board.shape
-        if left + right >= width or top + bottom >= height:
+        """Crop margins off all four sides."""
+        if left + right >= self.width or top + bottom >= self.height:
             raise ValueError("Board clipped to zero")
         self.shift_board(-left, -top)
-        self.resize_board(-(left + right), -(bottom + top))
+        self.resize_board(-(left + right), -(top + bottom))
 
     # -- physics / scoring ----------------------------------------------------
 
