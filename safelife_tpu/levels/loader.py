@@ -13,8 +13,10 @@ Supported file formats (wire-compatible with the reference):
   * single-level npz files with those fields as separate arrays,
   * procgen YAML parameter files (dispatched to safelife_tpu.procgen).
 
-Search order for bare names: cwd, ``$SAFELIFE_LEVELS``, the packaged data
-dir, the reference level tree (read-only) when present.
+Search order for bare names: cwd, ``$SAFELIFE_LEVELS`` (a colon-separated
+list of extra level directories), then the packaged data dir
+(``safelife_tpu/levels/data`` — regenerate it with
+``python -m safelife_tpu gen-benchmarks``).
 """
 
 import glob
@@ -28,19 +30,14 @@ from ..env.state import LevelBank
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 PACKAGED_LEVELS = os.path.join(_HERE, "data")
-REFERENCE_LEVELS = "/root/reference/safelife/levels"
 
 FILE_TYPES = ("npz", "yaml", "json")
 
 
 def level_directories():
-    dirs = []
-    env_dir = os.environ.get("SAFELIFE_LEVELS")
-    if env_dir:
-        dirs.append(env_dir)
+    env_dirs = os.environ.get("SAFELIFE_LEVELS", "")
+    dirs = [d for d in env_dirs.split(os.pathsep) if d]
     dirs.append(PACKAGED_LEVELS)
-    if os.path.isdir(REFERENCE_LEVELS):
-        dirs.append(REFERENCE_LEVELS)
     return dirs
 
 

@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
+# Golden parity tests replay trajectories recorded from the reference C
+# engine on specific reference levels; those levels are snapshotted here as
+# fixtures so the suite is self-contained (no reference checkout needed).
+os.environ["SAFELIFE_LEVELS"] = os.path.join(GOLDEN_DIR, "levels")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
