@@ -39,6 +39,11 @@ from safelife_tpu.env.env import BatchedSafeLifeEnv, EnvConfig
 from safelife_tpu.levels import loader, synth
 from safelife_tpu.ops import life_pallas
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SAFELIFE_JAX_CACHE",
+                                 "/tmp/safelife_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_STEPS_PER_S = 10e6  # north-star from BASELINE.md
 
 BATCH = int(os.environ.get("BENCH_BATCH", 16384))

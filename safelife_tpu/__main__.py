@@ -10,6 +10,18 @@ import argparse
 import sys
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: the fused train step takes
+    minutes to compile on this host; cached recompiles are seconds."""
+    import os
+
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("SAFELIFE_JAX_CACHE", "/tmp/safelife_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="safelife_tpu",
@@ -108,6 +120,8 @@ def cmd_train(args):
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    logging.getLogger("absl").setLevel(logging.WARNING)
+    enable_compilation_cache()
     from .training.driver import Trainer, TrainerConfig
     from .training.ppo import PPOConfig
     if args.task:

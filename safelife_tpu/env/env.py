@@ -64,9 +64,9 @@ class TimeStep(struct.PyTreeNode):
     perf_completed: Any   # (B,) int32
     perf_possible: Any    # (B,) int32
     level_idx: Any        # (B,) int32
-    # Pre-reset side-effect cell count (SimpleSideEffectPenalty semantics),
-    # computed in-kernel on the fused path; None on the XLA path (wrappers
-    # fall back to computing it from state_before_reset).
+    # Pre-reset side-effect cell count (SimpleSideEffectPenalty semantics):
+    # computed in-kernel on the fused path, by ops/scoring.side_effect_count
+    # on the XLA path.  Logged per finished episode by the trainer.
     side_effect_count: Any = None
     # Full post-step state BEFORE any auto-reset.  Wrappers (movement bonus,
     # side-effect penalty, recorders) need the pre-reset board/agent; under
@@ -279,6 +279,8 @@ class BatchedSafeLifeEnv:
                 board, goals, state.baseline_score)
             ce1 = scoring.can_exit(comp1, poss1, state.min_performance)
             board = _recolor_exits(board, state.init_board, ce1)
+            effect_count = scoring.side_effect_count(
+                board, state.init_board, goals)
 
         game_over = prev_over | act.exited
         reward = act.reward + (points - state.points_last).astype(jnp.float32)

@@ -242,20 +242,8 @@ class SideEffectPenaltyWrapper(Wrapper):
 
     def side_effect_count(self, board, init_board, goals):
         """# cells counted as side effects (B,) int32."""
-        ignore = _U16(C.PLAYER)  # agent|freezing|frozen|destructible bits
-        b = board & ~ignore
-        sb = init_board & ~ignore
-        # Exit cells change color when the gate opens — ignore them.
-        exit_mask = (init_board & C.EXIT) != 0
-        b = jnp.where(exit_mask, sb, b)
-        red_life = _U16(C.ALIVE | C.COLOR_R)
-        start_red = (sb & red_life) == red_life
-        end_red = (b & red_life) == red_life
-        goal_cell = (goals & C.COLORS) == C.COLOR_B
-        end_alive = (b & red_life) == C.ALIVE
-        unchanged = b == sb
-        non_effects = unchanged | (start_red & ~end_red) | (goal_cell & end_alive)
-        return (~non_effects).sum(axis=(0, 1)).astype(jnp.int32)
+        from ..ops import scoring
+        return scoring.side_effect_count(board, init_board, goals)
 
     def step(self, state, bank, action, key, **kw):
         inner, ts = self.env.step(state.inner, bank, action, key, **kw)

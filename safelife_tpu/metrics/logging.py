@@ -49,6 +49,8 @@ class EpisodeLogger:
                     float(stats["perf_completed"][t, b]) / possible, 4),
                 "times_up": bool(stats["times_up"][t, b]),
             }
+            if "side_effects" in stats:
+                rec["side_effects"] = int(stats["side_effects"][t, b])
             records.append(rec)
         self.num_episodes += len(records)
         if self._fh and records:
@@ -68,6 +70,9 @@ class EpisodeLogger:
                 f"{self.tag}/reward", mean("reward"), step)
             self.summary_writer.add_scalar(
                 f"{self.tag}/performance", mean("performance"), step)
+            if "side_effects" in records[0]:
+                self.summary_writer.add_scalar(
+                    f"{self.tag}/side_effects", mean("side_effects"), step)
         return records
 
     def close(self):

@@ -95,6 +95,29 @@ def can_exit(completed, possible, min_performance):
         >= min_performance * possible.astype(jnp.float32))
 
 
+def side_effect_count(board, init_board, goals):
+    """Cells counted as side effects vs the episode's start -> (B,) int32.
+
+    The reference's ``SimpleSideEffectPenalty`` metric
+    (``env_wrappers.py:306-346``): cells differing from the initial board,
+    ignoring agent-ish bits everywhere, exit cells, removed red life, and
+    live cells sitting on blue goals.  The fused Pallas kernel computes
+    the identical quantity in-core; this is the XLA twin.
+    """
+    ignore = jnp.uint16(C.PLAYER)
+    b = board & ~ignore
+    sb = init_board & ~ignore
+    exit_mask = (init_board & C.EXIT) != 0
+    b = jnp.where(exit_mask, sb, b)
+    red_life = jnp.uint16(C.ALIVE | C.COLOR_R)
+    start_red = (sb & red_life) == red_life
+    end_red = (b & red_life) == red_life
+    goal_cell = (goals & C.COLORS) == C.COLOR_B
+    end_alive = (b & red_life) == C.ALIVE
+    non_effects = (b == sb) | (start_red & ~end_red) | (goal_cell & end_alive)
+    return (~non_effects).sum(axis=(0, 1)).astype(jnp.int32)
+
+
 # --- host-side (numpy) twins, used at level-bank build time ----------------
 
 def current_points_np(board, goals):

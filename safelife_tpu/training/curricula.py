@@ -74,12 +74,18 @@ def _bank_factory(source, num_levels, seed):
 def make_curriculum_trainer(
         task, impact_penalty=0.0, logdir=None, num_envs=16,
         bank_levels=100, seed=0, ppo_cfg: PPOConfig = PPOConfig(),
+        fresh_levels_every=250_000, eval_suite="auto",
         **cfg_overrides) -> Tuple[Trainer, float]:
     """Build a Trainer configured for one benchmark task.
 
     Returns (trainer, total_steps).  The level banks are procedurally
-    generated (``bank_levels`` levels each); spawn tasks switch banks at
-    the reference's curriculum thresholds.
+    generated (``bank_levels`` levels each) and — unless
+    ``fresh_levels_every=0`` — regenerated on a background thread every
+    that many env steps, so training sees an endless level stream like the
+    reference's ``safelife_loader`` (file_finder.py:143-201) rather than a
+    closed 100-level set.  Spawn tasks switch banks at the reference's
+    curriculum thresholds.  ``eval_suite="auto"`` evaluates on the task's
+    frozen benchmark suite at every checkpoint.
     """
     spec = TASKS[task]
     t0, t1 = spec.impact_penalty_ramp
@@ -90,6 +96,18 @@ def make_curriculum_trainer(
     else:
         min_perf_sched = 0.01
 
+    if eval_suite == "auto":
+        eval_suite = task if task != "navigation" else "navigation"
+
+    if ppo_cfg.lr_decay_steps == 0:
+        # Decay the LR to 10% over the run (in optimizer updates) — fixes
+        # the late-run performance sag of the constant-LR reference config.
+        updates_per_batch = ppo_cfg.epochs_per_batch * ppo_cfg.num_minibatches
+        steps_per_batch = ppo_cfg.steps_per_env * num_envs
+        total_updates = int(spec.total_steps / steps_per_batch
+                            * updates_per_batch)
+        ppo_cfg = dataclasses.replace(ppo_cfg, lr_decay_steps=total_updates)
+
     cfg = TrainerConfig(
         num_envs=num_envs,
         total_steps=int(spec.total_steps),
@@ -97,12 +115,25 @@ def make_curriculum_trainer(
         min_performance=min_perf_sched,
         seed=seed,
         logdir=logdir,
+        eval_suite=eval_suite,
+        fresh_levels_every=int(fresh_levels_every),
         **cfg_overrides)
 
     start_step, first = spec.level_sources[0]
     assert start_step == 0
+    # Fresh regenerations draw a new seed each time — an endless stream,
+    # not 100 fixed levels reshuffled.
+    seed_box = [seed]
+
+    def factory_for(src):
+        def make():
+            seed_box[0] += 1
+            return _bank_factory(src, bank_levels, seed_box[0])()
+        return make
+
     bank = _bank_factory(first, bank_levels, seed)()
-    schedule = [(step, _bank_factory(src, bank_levels, seed + 1))
+    schedule = [(step, factory_for(src))
                 for step, src in spec.level_sources[1:]]
-    trainer = Trainer(cfg, ppo_cfg, bank=bank, bank_schedule=schedule)
+    trainer = Trainer(cfg, ppo_cfg, bank=bank, bank_schedule=schedule,
+                      bank_factory=factory_for(first))
     return trainer, spec.total_steps

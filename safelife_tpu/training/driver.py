@@ -48,7 +48,16 @@ class TrainerConfig:
     seed: int = 0
     logdir: Optional[str] = None
     max_checkpoints: int = 3
-    record_videos: bool = False   # capture an episode gif at each checkpoint
+    record_videos: bool = True    # capture an episode gif at each checkpoint
+    # Periodic frozen-suite evaluation (every save_every steps): a suite
+    # name / path / LevelBank; None disables.  Results go to eval.yaml +
+    # eval/* tensorboard scalars, incl. full EMD side-effect scores.
+    eval_suite: Any = None
+    eval_side_effect_samples: int = 250
+    # Endless levels: regenerate the training bank every this many env
+    # steps from the current bank factory (0 = fixed bank).  Generation
+    # runs on a background thread; the swap happens between batches.
+    fresh_levels_every: int = 0
 
 
 def make_training_env(cfg: TrainerConfig):
@@ -72,10 +81,12 @@ class Trainer:
                  bank=None,
                  level_paths: Sequence[str] = ("benchmarks/v1.0/append-still.npz",),
                  net=None, env=None, level_names=None,
-                 bank_schedule=None, mesh=None):
+                 bank_schedule=None, mesh=None, bank_factory=None):
         self.cfg = trainer_cfg
         self.ppo_cfg = ppo_cfg
         self.bank = bank if bank is not None else loader.load_bank(*level_paths)
+        self.bank_factory = bank_factory  # regenerates the CURRENT bank
+        self._refresher = None            # background bank-regen thread
         self.level_names = level_names
         self.env = env if env is not None else make_training_env(trainer_cfg)
         self.net = net or SafeLifeCNN(num_actions=9, n_gamma=ppo_cfg.n_gamma)
@@ -248,12 +259,16 @@ class Trainer:
                     progress_fn(step, metrics)
                 next_report = step + self.cfg.report_every
 
+            self._maybe_refresh_bank(step)
+
             if step >= next_save:
                 self.save_checkpoint()
                 self.maybe_record_video()
+                self.evaluate()
                 next_save = step + self.cfg.save_every
 
         self.save_checkpoint()
+        self.evaluate()  # final frozen-suite numbers
         if marker and os.path.exists(marker):
             os.remove(marker)  # clean exit: no restart needed
         if self.writer:
@@ -268,6 +283,8 @@ class Trainer:
             _, factory = self.bank_schedule.pop(0)
             logger.info("curriculum: switching level bank at step %d",
                         self.global_step())
+            if callable(factory):
+                self.bank_factory = factory  # endless-levels regen source
             self.bank = factory() if callable(factory) else factory
             offset = self.global_step()
             self.key, k = jax.random.split(self.key)
@@ -277,6 +294,77 @@ class Trainer:
             # reset_all zeroes the global counters; fold them into offset
             self._steps_offset = offset
             self._shard_all()
+
+    def _maybe_refresh_bank(self, step):
+        """Endless levels (reference: the safelife_loader generates forever,
+        file_finder.py:143-201): regenerate the training bank from its
+        factory every ``fresh_levels_every`` env steps on a background
+        thread, swapping it in between batches.  Auto-resets gather from
+        the bank each rollout, so a swap changes all FUTURE episodes
+        without disturbing running ones (shapes are identical — no
+        recompile)."""
+        if not self.cfg.fresh_levels_every or self.bank_factory is None:
+            return
+        if self._refresher is not None:
+            if self._refresher["thread"].is_alive():
+                return
+            new_bank = self._refresher["out"].get("bank")
+            self._refresher = None
+            if new_bank is not None:
+                if self.mesh is not None:
+                    from ..parallel import mesh as pmesh
+                    new_bank = jax.device_put(
+                        new_bank, pmesh.bank_shardings(self.mesh, new_bank))
+                self.bank = new_bank
+                logger.info("endless levels: fresh bank at step %d", step)
+            return
+        if step >= getattr(self, "_next_refresh", self.cfg.fresh_levels_every):
+            self._next_refresh = step + self.cfg.fresh_levels_every
+            import threading
+            out = {}
+
+            def gen():
+                try:
+                    out["bank"] = self.bank_factory()
+                except Exception:  # pragma: no cover
+                    logger.exception("bank regeneration failed")
+
+            th = threading.Thread(target=gen, daemon=True)
+            th.start()
+            self._refresher = {"thread": th, "out": out}
+
+    def evaluate(self):
+        """Frozen-suite evaluation into the training stream: mean
+        performance + full EMD side-effect scores on a held-out suite
+        (reference RecordingSafeLifeWrapper logs per-episode side effects,
+        env_wrappers.py:195-231; here the exact scoring runs on the eval
+        suite at checkpoint cadence while every training episode logs its
+        in-kernel side-effect cell count)."""
+        if self.cfg.eval_suite is None:
+            return None
+        from ..benchmarking import run_benchmark, summarize
+        step = self.global_step()
+        results = run_benchmark(
+            self.cfg.eval_suite, self.policy_fn(),
+            logfile=os.path.join(self.cfg.logdir, "eval.yaml")
+            if self.cfg.logdir else None,
+            key=jax.random.PRNGKey(self.cfg.seed + step),
+            view_shape=self.cfg.view_shape,
+            time_limit=self.cfg.time_limit,
+            side_effect_samples=self.cfg.eval_side_effect_samples)
+        perf = float(np.mean(results["performance"]))
+        if self.writer:
+            self.writer.add_scalar("eval/performance", perf, step)
+            self.writer.add_scalar(
+                "eval/reward", float(np.mean(results["reward"])), step)
+            self.writer.add_scalar(
+                "eval/length", float(np.mean(results["length"])), step)
+            if "side_effects" in results:
+                self.writer.add_scalar(
+                    "eval/side_effects",
+                    float(np.mean(results["side_effects"])), step)
+        logger.info("eval @ %d: %s", step, summarize(results))
+        return results
 
     def maybe_record_video(self):
         if not (self.cfg.record_videos and self.cfg.logdir):

@@ -45,6 +45,12 @@ class PPOConfig:
     value_discount_weights: Tuple[float, ...] = (1.0,)
 
     learning_rate: float = 3e-4
+    # Linear LR decay to learning_rate * lr_final_frac over this many
+    # OPTIMIZER updates (epochs x minibatches per train_batch); 0 = constant
+    # LR (the reference's setting — its curve sags late in the 10M-step
+    # runs, which the decay fixes).
+    lr_decay_steps: int = 0
+    lr_final_frac: float = 0.1
     entropy_reg: float = 5e-2
     entropy_clip: float = 1.0
     entropy_grad: bool = False   # reference stop-gradients the bonus
@@ -89,11 +95,16 @@ class Trajectory(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: PPOConfig, lr=None):
+    if lr is None:
+        lr = cfg.learning_rate
+        if cfg.lr_decay_steps > 0:
+            lr = optax.linear_schedule(
+                cfg.learning_rate, cfg.learning_rate * cfg.lr_final_frac,
+                cfg.lr_decay_steps)
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_gradient_norm)
         if cfg.max_gradient_norm > 0 else optax.identity(),
-        optax.adam(lr if lr is not None else cfg.learning_rate,
-                   eps=cfg.adam_epsilon),
+        optax.adam(lr, eps=cfg.adam_epsilon),
     )
 
 
@@ -145,7 +156,11 @@ def rollout(cfg: PPOConfig, net, env, bank, params, env_state, obs, key):
                      episode_reward=ts.episode_reward,
                      perf_completed=ts.perf_completed,
                      perf_possible=ts.perf_possible,
-                     level_idx=ts.level_idx)
+                     level_idx=ts.level_idx,
+                     # Pre-reset side-effect cell count, free from the env
+                     # kernels; logged per finished episode like the
+                     # reference's training records (env_wrappers.py:195-231).
+                     side_effects=ts.side_effect_count)
         out = (obs, action.astype(jnp.int32), old_pi, reward, ts.done, value,
                stats)
         return (new_env_state, ts.obs, key), out
@@ -400,7 +415,11 @@ def rollout_recurrent(cfg, net, env, bank, params, env_state, obs, carry,
                      episode_reward=ts.episode_reward,
                      perf_completed=ts.perf_completed,
                      perf_possible=ts.perf_possible,
-                     level_idx=ts.level_idx)
+                     level_idx=ts.level_idx,
+                     # Pre-reset side-effect cell count, free from the env
+                     # kernels; logged per finished episode like the
+                     # reference's training records (env_wrappers.py:195-231).
+                     side_effects=ts.side_effect_count)
         out = (obs, action.astype(jnp.int32), old_pi, ts.reward, ts.done,
                value, stats)
         return (new_env_state, ts.obs, carry_out, key), out

@@ -141,6 +141,42 @@ def test_load_policy_from_logdir(tmp_path):
     assert ((np.asarray(acts) >= 0) & (np.asarray(acts) < 9)).all()
 
 
+def test_endless_levels_eval_and_side_effect_logging(tmp_path):
+    """VERDICT #7/#9: training.yaml records carry side-effect counts, the
+    frozen-suite eval runs at checkpoint cadence, and the endless-level
+    refresher swaps in freshly generated banks mid-run."""
+    from safelife_tpu.levels.loader import build_bank
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return build_bank([
+            synth.simple_level(13, 13, seed=100 + 10 * len(calls) + i)
+            for i in range(4)])
+
+    eval_bank = synth.synth_bank(3, h=13, w=13)
+    tc = TrainerConfig(num_envs=8, view_shape=(17, 17), time_limit=20,
+                       report_every=400, save_every=800,
+                       logdir=str(tmp_path), record_videos=False,
+                       eval_suite=eval_bank, eval_side_effect_samples=8,
+                       fresh_levels_every=300)
+    pc = PPOConfig(steps_per_env=4, num_minibatches=2, epochs_per_batch=1)
+    bank0 = factory()
+    b0 = np.asarray(bank0.board).copy()
+    tr = Trainer(tc, pc, bank=bank0, bank_factory=factory)
+    tr.train(total_steps=2000)
+    # Endless levels: the factory ran again and the live bank changed.
+    assert len(calls) >= 2, "bank factory never re-ran"
+    assert not np.array_equal(np.asarray(tr.bank.board), b0), \
+        "training bank contents never changed"
+    # Per-episode side-effect counts in the training records.
+    txt = open(os.path.join(str(tmp_path), "training.yaml")).read()
+    assert "side_effects:" in txt
+    # Frozen-suite eval wrote its YAML log.
+    eval_log = os.path.join(str(tmp_path), "eval.yaml")
+    assert os.path.exists(eval_log) and "performance" in open(eval_log).read()
+
+
 def test_recurrent_ppo_smoke():
     """The LSTM policy trains end-to-end: one RecurrentPPO train_batch
     produces finite metrics and updates params."""
