@@ -33,6 +33,9 @@ def main(argv=None):
                    help="level files / globs / procgen yaml")
     p.add_argument("--view", type=int, default=0,
                    help="view size (0 = whole board)")
+    p.add_argument("--gl", action="store_true",
+                   help="play in a pyglet window (falls back to the "
+                        "terminal when pyglet is unavailable)")
 
     p = sub.add_parser("print", help="print levels to the terminal")
     p.add_argument("levels", nargs="+")
@@ -84,7 +87,8 @@ def main(argv=None):
 def cmd_play(args):
     from .interactive.play import GameLoop, games_from_files
     view = (args.view, args.view) if args.view else None
-    GameLoop(games_from_files(*args.levels), view_size=view).run()
+    loop = GameLoop(games_from_files(*args.levels), view_size=view)
+    loop.run_gl() if getattr(args, "gl", False) else loop.run()
 
 
 def cmd_print(args):
