@@ -276,10 +276,13 @@ def _gen_pattern(board, mask, seeds=None, num_retries=10, **kwargs):
 
 
 def _make_lattice(h, w, col_skip, row_skip, stagger):
-    rows = np.arange(h)[:, None]
-    cols = np.arange(w)[None, :]
-    return (rows % row_skip < 1) & (
-        (cols + (rows // row_skip) * stagger) % col_skip < 1)
+    """True on a staggered lattice: every ``row_skip``-th row, every
+    ``col_skip``-th column, successive row bands offset by ``stagger``."""
+    r = np.arange(h)
+    on_row = (r % row_skip) < 1
+    offset = (r // row_skip) * stagger
+    on_col = (np.arange(w)[None, :] + offset[:, None]) % col_skip < 1
+    return on_row[:, None] & on_col
 
 
 def _lattice_cells(shape, spec):

@@ -75,6 +75,81 @@ def compare(ref, gen, suite):
 SUITES = ["append-still", "prune-spawn", "prune-dynamic"]
 
 
+def _still_life_stats(boards):
+    """Structural statistics of a still-life ensemble: fill, live-neighbor
+    histogram (still lifes live on 2s and 3s), connected components."""
+    from scipy import ndimage
+
+    rows = []
+    for board in boards:
+        alive = (np.asarray(board) & C.ALIVE) != 0
+        n = sum(np.roll(alive, (di, dj), (0, 1))
+                for di in (-1, 0, 1) for dj in (-1, 0, 1) if di or dj)
+        live_n = n[alive]
+        n_comp = ndimage.label(
+            alive, structure=np.ones((3, 3)))[1] if alive.any() else 0
+        rows.append(dict(
+            fill=alive.mean(),
+            mean_neighbors=live_n.mean() if len(live_n) else 0.0,
+            frac_n2=(live_n == 2).mean() if len(live_n) else 0.0,
+            frac_n3=(live_n == 3).mean() if len(live_n) else 0.0,
+            components=n_comp,
+        ))
+    return {k: np.array([r[k] for r in rows]) for k in rows[0]}
+
+
+def test_device_annealer_matches_native_ensemble():
+    """VERDICT #5 tail: quantify the on-device batched annealer's
+    deviation from the C++ annealer (its proposals score independently
+    instead of along the reference's 3-type cycle —
+    procgen/batched.py docstring).  Both anneal still lifes on the same
+    mask; the structural ensembles must agree within loose z/relative
+    gates."""
+    import jax
+    import jax.numpy as jnp
+
+    from safelife_tpu.procgen import native
+    from safelife_tpu.procgen.batched import gen_still_lifes
+
+    h = w = 16
+    n = 48
+    mask = np.zeros((h, w), bool)
+    mask[3:13, 3:13] = True
+
+    # Native (C++) ensemble.
+    gen_mask = np.where(mask, native.NEW_CELL_MASK | native.CAN_OSCILLATE_MASK
+                        | native.INCLUDE_VIOLATIONS_MASK, 0)
+    halo = np.zeros_like(gen_mask)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            halo |= np.roll(gen_mask & 1, (di, dj), (0, 1))
+    gen_mask = np.where((halo > 0) & (gen_mask == 0),
+                        native.INCLUDE_VIOLATIONS_MASK, gen_mask)
+    native_boards = []
+    empty = np.zeros((h, w), np.uint16)
+    for seed in range(n):
+        try:
+            native_boards.append(native.gen_pattern(
+                empty, gen_mask.astype(np.int32), period=1,
+                min_fill=0.15, temperature=0.45, rng=seed))
+        except native.BoardGenException:
+            pass
+    assert len(native_boards) >= 0.8 * n
+
+    # On-device ensemble (same mask / fill / temperature).
+    boards, conv = gen_still_lifes(
+        jax.random.PRNGKey(0), jnp.asarray(mask), batch=n,
+        iters=2000, min_fill=0.15, temperature=0.45)
+    boards = np.asarray(boards)
+    conv = np.asarray(conv)
+    assert conv.mean() >= 0.8
+    device_boards = [boards[..., b] for b in range(n) if conv[b]]
+
+    ref = _still_life_stats(native_boards)
+    got = _still_life_stats(device_boards)
+    compare(ref, got, "still-life-annealers")
+
+
 @pytest.mark.parametrize("suite", SUITES)
 def test_generated_distribution_matches_reference_archive(suite):
     ref_levels = loader.load_levels(f"benchmarks/v1.0/{suite}")
