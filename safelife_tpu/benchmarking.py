@@ -9,6 +9,7 @@ each level's stats are captured at its first episode end.
 
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,11 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
     prebuilt LevelBank.  Returns a dict of numpy arrays (one entry per
     level): length, reward, completed, possible, performance  (+
     side_effects when side_effect_samples > 0).
+
+    A policy carrying ``.raw``/``.params`` attributes (Trainer.policy_fn)
+    is invoked as ``raw(params, obs, key)`` with params traced, so
+    repeated in-training evals reuse the compiled program instead of
+    baking the weights in as constants.
     """
     if isinstance(benchmark_name, str):
         path = benchmark_name if os.sep in benchmark_name or \
@@ -53,12 +59,16 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
     state = env.reset_to_levels(bank, jnp.arange(n))
     obs = env.observe(state)
 
-    @jax.jit
-    def run_chunk(state, obs, rec, key):
+    raw_policy = getattr(policy, "raw", None)
+    policy_params = getattr(policy, "params", None)
+
+    @partial(jax.jit, static_argnames=())
+    def run_chunk(params, state, obs, rec, key):
         def body(carry, _):
             state, obs, rec, key = carry
             key, k_act, k_env = jax.random.split(key, 3)
-            action = policy(obs, k_act)
+            action = policy(obs, k_act) if raw_policy is None \
+                else raw_policy(params, obs, k_act)
             state, ts = env.step(state, bank, action, k_env)
             newly = ts.done & ~rec["done"]
             rec = dict(
@@ -81,7 +91,7 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
                possible=jnp.zeros(n, jnp.int32))
     t0 = time.time()
     for _ in range(0, time_limit + chunk, chunk):
-        state, obs, rec, key = run_chunk(state, obs, rec, key)
+        state, obs, rec, key = run_chunk(policy_params, state, obs, rec, key)
         if bool(rec["done"].all()):
             break
     rec = jax.device_get(rec)

@@ -126,9 +126,10 @@ class SafeLifeGymEnv(_EnvBase):
         pass
 
 
-def register(tasks=("append-still", "prune-still", "append-spawn",
-                    "prune-spawn", "navigation", "append-still-easy",
-                    "prune-still-easy")):
+def register(tasks=("append-still", "append-dynamic", "append-spawn",
+                    "prune-still", "prune-still-hard", "prune-dynamic",
+                    "prune-spawn", "navigation", "challenge",
+                    "append-still-easy", "prune-still-easy")):
     """Register ``safelife-{task}-v1`` ids with gymnasium (reference:
     ``SafeLifeEnv.register()``, ``safelife_env.py:211-226``)."""
     import gymnasium

@@ -95,34 +95,44 @@ SPRITES = _make_sprites()
 AGENT_SPRITES = _agent_sprites()
 
 
+def _sprite_mask(cell, orientation):
+    """Clipped [0,1] sprite mask for one (color-stripped) cell value."""
+    if cell == 0:
+        return np.zeros((SPRITE_SIZE, SPRITE_SIZE))
+    if cell & C.AGENT:
+        mask = AGENT_SPRITES[orientation % 4]
+    else:
+        mask = SPRITES.get(cell & ~C.COLORS)
+        if mask is None:
+            mask = SPRITES[C.WALL] * 0.5
+    return np.clip(mask, 0, 1)
+
+
 def render_board(board, goals=None, orientation=0):
-    """(H, W) board -> (H*14, W*14, 3) uint8 RGB image."""
+    """(H, W) board -> (H*14, W*14, 3) uint8 RGB image.
+
+    Fully vectorized (one sprite-table gather + one blend) — the renderer
+    runs on 1000-frame episode gifs at every training checkpoint, so a
+    per-cell Python loop is too slow.
+    """
     board = np.asarray(board, np.uint16)
     goals = np.zeros_like(board) if goals is None else np.asarray(goals)
     h, w = board.shape
     s = SPRITE_SIZE
-    out = np.zeros((h * s, w * s, 3), np.uint8)
     goal_colors = (goals & C.COLORS) >> C.COLOR_BIT
     cell_colors = (board & C.COLORS) >> C.COLOR_BIT
-    # Background from goal color.
-    out[:] = np.repeat(np.repeat(GOAL_RGB[goal_colors], s, 0), s, 1)
-    for yy in range(h):
-        for xx in range(w):
-            cell = int(board[yy, xx])
-            if cell == 0:
-                continue
-            if cell & C.AGENT:
-                mask = AGENT_SPRITES[orientation % 4]
-            else:
-                mask = SPRITES.get(cell & ~C.COLORS)
-                if mask is None:
-                    mask = SPRITES[C.WALL] * 0.5
-            fg = CELL_RGB[cell_colors[yy, xx]].astype(float)
-            tile = out[yy * s:(yy + 1) * s, xx * s:(xx + 1) * s].astype(float)
-            m = np.clip(mask, 0, 1)[..., None]
-            out[yy * s:(yy + 1) * s, xx * s:(xx + 1) * s] = \
-                (tile * (1 - m) + fg * m).astype(np.uint8)
-    return out
+
+    # One mask per DISTINCT cell value on this board (a handful), gathered
+    # into an (H, W, s, s) mask field.
+    values, inverse = np.unique(board, return_inverse=True)
+    table = np.stack([_sprite_mask(int(v), orientation) for v in values]
+                     ).astype(np.float32)
+    m = table[inverse].reshape(h, w, s, s)[..., None]
+
+    bg = GOAL_RGB[goal_colors].astype(np.float32)[:, :, None, None, :]
+    fg = CELL_RGB[cell_colors].astype(np.float32)[:, :, None, None, :]
+    tiles = (bg * (1 - m) + fg * m).astype(np.uint8)  # (H, W, s, s, 3)
+    return tiles.transpose(0, 2, 1, 3, 4).reshape(h * s, w * s, 3)
 
 
 def render_game(game, view_size=None):

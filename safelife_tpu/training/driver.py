@@ -380,14 +380,24 @@ class Trainer:
             self.cfg.logdir, f"episode-{self.global_step()}"))
 
     def policy_fn(self):
-        """Greedy-sampling policy closure for the benchmark runner."""
-        net, params = self.net, self.train_state.params["net"]
+        """Sampling policy for eval/recording.  The jitted function takes
+        ``params`` as a TRACED argument and is cached on the trainer —
+        closing over the current params instead would bake them in as
+        constants and force a full recompile at every checkpoint."""
+        if not hasattr(self, "_policy_jit"):
+            net = self.net
 
-        @jax.jit
-        def policy(obs, key):
-            logits, _ = net.apply(params, obs)
-            return jax.random.categorical(key, logits)
-        return policy
+            @jax.jit
+            def policy(params, obs, key):
+                logits, _ = net.apply(params, obs)
+                return jax.random.categorical(key, logits)
+            self._policy_jit = policy
+        jit = self._policy_jit
+        params = self.train_state.params["net"]
+        wrapped = lambda obs, key: jit(params, obs, key)  # noqa: E731
+        wrapped.params = params
+        wrapped.raw = jit
+        return wrapped
 
 
 def load_policy(logdir):
