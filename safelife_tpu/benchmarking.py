@@ -27,6 +27,38 @@ def random_policy(num_actions=9):
     return policy
 
 
+@partial(jax.jit, static_argnames=("env", "policy", "raw_policy", "chunk"))
+def _run_chunk(env, policy, raw_policy, chunk, params, bank, state, obs,
+               rec, key):
+    """One ``chunk``-step scan of a suite evaluation.
+
+    Module-level with the env/policy as STATIC and the weights/bank as
+    traced arguments, so repeated in-training evals (Trainer.evaluate at
+    every checkpoint) hit the jit cache instead of recompiling — envs
+    hash by config, and a Trainer's ``raw_policy`` is a stable cached
+    function."""
+    def body(carry, _):
+        state, obs, rec, key = carry
+        key, k_act, k_env = jax.random.split(key, 3)
+        action = policy(obs, k_act) if raw_policy is None \
+            else raw_policy(params, obs, k_act)
+        state, ts = env.step(state, bank, action, k_env)
+        newly = ts.done & ~rec["done"]
+        rec = dict(
+            done=rec["done"] | ts.done,
+            length=jnp.where(newly, ts.episode_length, rec["length"]),
+            reward=jnp.where(newly, ts.episode_reward, rec["reward"]),
+            completed=jnp.where(newly, ts.perf_completed,
+                                rec["completed"]),
+            possible=jnp.where(newly, ts.perf_possible, rec["possible"]),
+        )
+        return (state, ts.obs, rec, key), None
+
+    (state, obs, rec, key), _ = jax.lax.scan(
+        body, (state, obs, rec, key), length=chunk)
+    return state, obs, rec, key
+
+
 def run_benchmark(benchmark_name, policy, logfile=None, key=None,
                   view_shape=(25, 25), time_limit=1000, chunk=64,
                   side_effect_samples=0):
@@ -61,29 +93,8 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
 
     raw_policy = getattr(policy, "raw", None)
     policy_params = getattr(policy, "params", None)
-
-    @partial(jax.jit, static_argnames=())
-    def run_chunk(params, state, obs, rec, key):
-        def body(carry, _):
-            state, obs, rec, key = carry
-            key, k_act, k_env = jax.random.split(key, 3)
-            action = policy(obs, k_act) if raw_policy is None \
-                else raw_policy(params, obs, k_act)
-            state, ts = env.step(state, bank, action, k_env)
-            newly = ts.done & ~rec["done"]
-            rec = dict(
-                done=rec["done"] | ts.done,
-                length=jnp.where(newly, ts.episode_length, rec["length"]),
-                reward=jnp.where(newly, ts.episode_reward, rec["reward"]),
-                completed=jnp.where(newly, ts.perf_completed,
-                                    rec["completed"]),
-                possible=jnp.where(newly, ts.perf_possible, rec["possible"]),
-            )
-            return (state, ts.obs, rec, key), None
-
-        (state, obs, rec, key), _ = jax.lax.scan(
-            body, (state, obs, rec, key), length=chunk)
-        return state, obs, rec, key
+    if raw_policy is not None:
+        policy = None  # route through the params-traced path
 
     rec = dict(done=jnp.zeros(n, bool), length=jnp.zeros(n, jnp.int32),
                reward=jnp.zeros(n, jnp.float32),
@@ -91,7 +102,9 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
                possible=jnp.zeros(n, jnp.int32))
     t0 = time.time()
     for _ in range(0, time_limit + chunk, chunk):
-        state, obs, rec, key = run_chunk(policy_params, state, obs, rec, key)
+        state, obs, rec, key = _run_chunk(
+            env, policy, raw_policy, chunk,
+            policy_params, bank, state, obs, rec, key)
         if bool(rec["done"].all()):
             break
     rec = jax.device_get(rec)
