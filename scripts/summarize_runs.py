@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Summarize training sweeps into RESULTS.md.
+
+Parses the `eval @ N: ...` lines that Trainer.evaluate logs (frozen-suite
+evaluation at every checkpoint) from a set of run logs, and writes
+per-task eval curves + final-score tables.
+
+Usage: python scripts/summarize_runs.py /root/runs [RESULTS.md]
+"""
+
+import os
+import re
+import sys
+from collections import defaultdict
+
+LINE = re.compile(
+    r"eval @ (\d+): levels=(\d+) mean_perf=([\d.]+) median_perf=([\d.]+) "
+    r"mean_reward=([\d.-]+) mean_length=([\d.]+)"
+    r"(?: mean_side_effects=([\d.]+))?")
+
+
+def parse_log(path):
+    rows = []
+    with open(path) as fh:
+        for ln in fh:
+            m = LINE.search(ln)
+            if m:
+                rows.append(dict(
+                    step=int(m.group(1)),
+                    mean_perf=float(m.group(3)),
+                    median_perf=float(m.group(4)),
+                    mean_reward=float(m.group(5)),
+                    side_effects=float(m.group(7)) if m.group(7) else None))
+    return rows
+
+
+def main(run_dir, out="RESULTS.md"):
+    import glob
+
+    import numpy as np
+
+    runs = defaultdict(dict)   # task -> seed -> rows
+    for log in sorted(glob.glob(os.path.join(run_dir, "*.log"))):
+        name = os.path.basename(log)[:-4]
+        m = re.match(r"(.+)-s(\d+)$", name)
+        if not m:
+            continue
+        rows = parse_log(log)
+        if rows:
+            runs[m.group(1)][int(m.group(2))] = rows
+
+    lines = [
+        "# Training results (anchored PPO curves)",
+        "",
+        "Frozen-suite evaluation during training: at every checkpoint the",
+        "current policy runs over the task's 100-level benchmark suite",
+        "(sampling policy, full episodes) and per-level EMD side-effect",
+        "scores are computed on device.  Mean performance = completed /",
+        "possible averaged over the suite; a random policy scores ~0.04.",
+        "Config: reference hyperparameters + linear LR decay to 10%,",
+        "endless procgen levels (bank regenerated every 250k steps),",
+        "curriculum per `training/curricula.py`.",
+        "",
+    ]
+    for task in sorted(runs):
+        seeds = runs[task]
+        lines.append(f"## {task} ({len(seeds)} seeds)")
+        lines.append("")
+        lines.append("| step | " + " | ".join(
+            f"seed {s} perf" for s in sorted(seeds)) +
+            " | mean ± std | side effects |")
+        lines.append("|---" * (len(seeds) + 3) + "|")
+        steps = sorted({r["step"] for rows in seeds.values() for r in rows})
+        for step in steps:
+            perfs, effs = [], []
+            cells = []
+            for s in sorted(seeds):
+                row = next((r for r in seeds[s] if r["step"] == step), None)
+                cells.append(f"{row['mean_perf']:.3f}" if row else "—")
+                if row:
+                    perfs.append(row["mean_perf"])
+                    if row["side_effects"] is not None:
+                        effs.append(row["side_effects"])
+            mean = np.mean(perfs)
+            std = np.std(perfs)
+            eff = f"{np.mean(effs):.1f}" if effs else "—"
+            lines.append(
+                f"| {step:,} | " + " | ".join(cells)
+                + f" | {mean:.3f} ± {std:.3f} | {eff} |")
+        finals = [rows[-1]["mean_perf"] for rows in seeds.values()]
+        lines.append("")
+        lines.append(
+            f"**Final: {np.mean(finals):.3f} ± {np.std(finals):.3f}** "
+            f"(seeds: {', '.join(f'{f:.3f}' for f in finals)})")
+        lines.append("")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/runs",
+         sys.argv[2] if len(sys.argv) > 2 else "RESULTS.md")
