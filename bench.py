@@ -153,7 +153,12 @@ def time_env(bank, batch, steps):
                 action = jax.random.randint(k_act, (batch,), 0, 9)
                 state, ts = env.step(state, bank, action, k_env,
                                      fresh_levels=fresh)
-                return (state, key), ts.reward.sum()
+                # Consume the OBSERVATION, not just the reward: otherwise
+                # XLA dead-code-eliminates the whole obs extraction and
+                # the headline overstates by ~40% (a real actor feeds the
+                # obs to its policy every step).
+                out = ts.obs.astype(jnp.int32).sum() + ts.reward.sum()
+                return (state, key), out
             (state, key), rewards = jax.lax.scan(
                 body, (state, key), length=ROLLOUT)
             return (state, key), rewards.sum()

@@ -243,6 +243,7 @@ class BatchedSafeLifeEnv:
                 interpret=(life_pallas.interpret_params()
                            if cfg.pallas_interpret else False),
                 static_goals=bank.static_goals,
+                spawnless=bank.spawnless,
                 init_goals=state.init_goals,
                 episode_length=state.episode_length,
                 fresh=fresh,

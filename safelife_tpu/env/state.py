@@ -48,6 +48,11 @@ class LevelBank(struct.PyTreeNode):
     # entirely (all the *-still benchmark suites).  Static (not a pytree
     # leaf) so jitted steps specialize on it.
     static_goals: bool = struct.field(pytree_node=False, default=False)
+    # True when NO level in the bank contains spawner cells: the CA step
+    # then skips spawn sampling entirely (the spawn draw is masked by
+    # spawner adjacency, so it can never fire) — static so jitted steps
+    # specialize.  All the *-still suites qualify.
+    spawnless: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_levels(self):

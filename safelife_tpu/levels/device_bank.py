@@ -15,16 +15,17 @@ from ..env.state import LevelBank, find_exits
 from ..ops import scoring
 
 
-@partial(jax.jit, static_argnames=("max_exits", "static_goals"))
+@partial(jax.jit, static_argnames=("max_exits", "static_goals",
+                                   "spawnless"))
 def build_bank_from_arrays(board, goals, agent_row, agent_col,
                            orientation=None, spawn_prob=None,
                            min_performance=-1.0, max_exits=4,
-                           static_goals=False):
+                           static_goals=False, spawnless=False):
     """Assemble a LevelBank from (H, W, N) device arrays.
 
-    ``static_goals`` must be asserted by the caller (it is a static
-    compile-time property; pass True only when every goal board is a
-    spawner-free CA fixed point).
+    ``static_goals`` / ``spawnless`` must be asserted by the caller (they
+    are static compile-time properties; pass True only when every goal
+    board is a spawner-free CA fixed point / no level contains spawners).
     """
     h, w, n = board.shape
     board = jnp.asarray(board, jnp.uint16)
@@ -52,4 +53,5 @@ def build_bank_from_arrays(board, goals, agent_row, agent_col,
         min_performance=min_performance,
         exit_row=er, exit_col=ec, exit_valid=ev,
         baseline_score=baseline, possible0=possible0, points0=points0,
-        can_exit0=can_exit0, static_goals=static_goals)
+        can_exit0=can_exit0, static_goals=static_goals,
+        spawnless=spawnless)

@@ -164,7 +164,11 @@ def build_bank(levels, max_exits=4):
     min_perf = np.stack([lv["min_performance"] for lv in levels])
     can_exit0 = (min_perf < 0) | (0 >= min_perf * possible0)
 
+    spawnless = not ((board_np & C.SPAWNING).any()
+                     or (goals_np & C.SPAWNING).any())
+
     return LevelBank(
+        spawnless=bool(spawnless),
         board=jnp.asarray(board_np),
         goals=jnp.asarray(goals_np),
         agent_row=stack("agent_row"),

@@ -148,14 +148,26 @@ def _action_kernel(si_ref, board_ref, out_board_ref, out_i_ref):
 
 
 def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
-                    time_limit=0):
+                    time_limit=0, spawnless=False):
     """CA advance + scoring + exit recolor, optionally folding the
     auto-reset select into the same write pass (``time_limit > 0``): the
     episode's done flag is computable in-kernel (times_up | game_over |
     exited), so resetting lanes swap in the fresh bank level without a
     separate full-array select outside."""
     do_reset = time_limit > 0
-    if do_reset:
+    if do_reset and static_goals:
+        # Static goals: goals == init_goals at all times (the goal board
+        # never advances and resets swap both to the same fresh plane), so
+        # the init_goals stream is dropped entirely — out_goals doubles as
+        # out_init_goals.  Saves 3 full-board HBM streams per step.
+        (act_ref, board_ref, goals_ref, init_ref,
+         fb_ref, fg_ref, fib_ref,
+         out_board_ref, out_goals_ref, out_ib_ref,
+         out_i_ref) = refs
+        initg_ref = goals_ref
+        fig_ref = fg_ref
+        out_ig_ref = None
+    elif do_reset:
         (act_ref, board_ref, goals_ref, init_ref, initg_ref,
          fb_ref, fg_ref, fib_ref, fig_ref,
          out_board_ref, out_goals_ref, out_ib_ref, out_ig_ref,
@@ -163,23 +175,29 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
     else:
         (board_ref, goals_ref, init_ref,
          out_board_ref, out_goals_ref, out_i_ref) = refs
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     h, w, lanes = board_ref.shape
     baseline = si_ref[6, :]
-    spawn_prob = sf_ref[0, :]
     min_perf = sf_ref[1, :]
 
     # ---- CA advance -------------------------------------------------------
-    thresh24 = (spawn_prob * jnp.float32(1 << 24)).astype(jnp.int32)
-    board = _advance_block(
-        board_ref[:].astype(jnp.int32),
-        _spawn_field((h, w, lanes), thresh24[None, None, :]))
-    if static_goals:
-        goals = goals_ref[:].astype(jnp.int32)
+    if spawnless:
+        # No spawner cells anywhere in the bank: skip the PRNG entirely.
+        board = _advance_block(board_ref[:].astype(jnp.int32), None)
+        goals = goals_ref[:].astype(jnp.int32) if static_goals else \
+            _advance_block(goals_ref[:].astype(jnp.int32), None)
     else:
-        goals = _advance_block(
-            goals_ref[:].astype(jnp.int32),
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        spawn_prob = sf_ref[0, :]
+        thresh24 = (spawn_prob * jnp.float32(1 << 24)).astype(jnp.int32)
+        board = _advance_block(
+            board_ref[:].astype(jnp.int32),
             _spawn_field((h, w, lanes), thresh24[None, None, :]))
+        if static_goals:
+            goals = goals_ref[:].astype(jnp.int32)
+        else:
+            goals = _advance_block(
+                goals_ref[:].astype(jnp.int32),
+                _spawn_field((h, w, lanes), thresh24[None, None, :]))
 
     # ---- scoring ------------------------------------------------------------
     alive = (board & 1) != 0
@@ -227,7 +245,8 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
             else goals.astype(jnp.uint16)
         out_goals_ref[:] = jnp.where(m, fg_ref[:], goals_out)
         out_ib_ref[:] = jnp.where(m, fib_ref[:], init_ref[:])
-        out_ig_ref[:] = jnp.where(m, fig_ref[:], initg_ref[:])
+        if out_ig_ref is not None:
+            out_ig_ref[:] = jnp.where(m, fig_ref[:], initg_ref[:])
     else:
         out_board_ref[:] = board.astype(jnp.uint16)
         if static_goals:
@@ -242,12 +261,12 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
 
 
 @partial(jax.jit, static_argnames=("interpret", "static_goals",
-                                   "time_limit"))
+                                   "time_limit", "spawnless"))
 def fused_step(board, goals, init_board, action, agent_row, agent_col,
                orientation, game_over, can_exit0, baseline_score,
                spawn_prob, min_performance, seed, interpret=False,
                static_goals=False, init_goals=None, episode_length=None,
-               fresh=None, time_limit=0):
+               fresh=None, time_limit=0, spawnless=False):
     """Run the fused env-step core.  All per-env args are (B,) with
     B % 128 == 0; boards are (H, W, B) uint16.
 
@@ -290,11 +309,29 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
     )(si, board)
 
     kern = partial(_advance_kernel, static_goals=static_goals,
-                   time_limit=time_limit)
+                   time_limit=time_limit, spawnless=spawnless)
     common = [pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
               lane_spec(8), lane_spec(2)]
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    if time_limit > 0 and static_goals:
+        # goals == init_goals throughout for static-goal banks; drop the
+        # duplicate streams (see _advance_kernel).
+        outs = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=common + [lane_spec(4)] + [board_spec] * 6,
+            out_specs=(board_spec,) * 3 + (lane_spec(8),),
+            out_shape=(bshape,) * 3 + (
+                jax.ShapeDtypeStruct((8, b), jnp.int32),),
+            compiler_params=params,
+            interpret=interpret,
+        )(seed_arr, si, sf, act_i, board1, goals, init_board,
+          fresh["board"], fresh["goals"], fresh["init_board"])
+        out_board, out_goals, out_ib, adv_i = outs
+        return (out_board, out_goals, act_i[0], act_i[1], act_i[2],
+                act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
+                adv_i[3].astype(bool), adv_i[4], out_ib, out_goals)
     if time_limit > 0:
         outs = pl.pallas_call(
             kern,

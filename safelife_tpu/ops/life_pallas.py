@@ -32,13 +32,21 @@ LANES = 128
 
 
 def _advance_block(board, spawn):
-    """The CA rule on an (H, W, L) int32 block; mirrors ops/life.py."""
+    """The CA rule on an (H, W, L) int32 block; mirrors ops/life.py.
+
+    ``spawn=None`` compiles the spawner-free rule (no sampling, color
+    weights without the spawner boost) for banks with no spawner cells —
+    the spawn draw is masked by spawner adjacency, so on such boards it
+    can never fire and the arithmetic is pure waste."""
     alive = board & 1
-    spawning = (board >> C.SPAWNING_BIT) & 1
     has_r = (board >> C.COLOR_BIT) & 1
     has_g = (board >> (C.COLOR_BIT + 1)) & 1
     has_b = (board >> (C.COLOR_BIT + 2)) & 1
-    cw = alive + 2 * spawning
+    if spawn is None:
+        cw = alive
+    else:
+        spawning = (board >> C.SPAWNING_BIT) & 1
+        cw = alive + 2 * spawning
     has_d = ((board >> C.DESTRUCTIBLE_BIT) | (board >> C.EXIT_BIT)) & 1
 
     packed = (alive
@@ -67,16 +75,21 @@ def _advance_block(board, spawn):
     flags = nb_or(board)
     preserved = (flags & C.PRESERVING) != 0
     inhibited = (flags & C.INHIBITING) != 0
-    near_spawner = (flags & C.SPAWNING) != 0
 
     is_alive = alive != 0
     frozen = (board & C.FROZEN) != 0
     three = n_alive == 3
     survives = frozen | preserved | three | (n_alive == 4)
     born = three & ~frozen & ~inhibited
-    spawned = ~frozen & ~inhibited & ~born & near_spawner & spawn
-
     born_cell = C.ALIVE | inherit | jnp.where(destr2, C.DESTRUCTIBLE, 0)
+
+    if spawn is None:
+        return jnp.where(
+            is_alive, jnp.where(survives, board, 0),
+            jnp.where(born, born_cell, board))
+
+    near_spawner = (flags & C.SPAWNING) != 0
+    spawned = ~frozen & ~inhibited & ~born & near_spawner & spawn
     spawn_cell = (C.ALIVE | C.DESTRUCTIBLE) | inherit
 
     return jnp.where(

@@ -363,5 +363,6 @@ def gen_build_levels(key, batch, h=14, w=14, iters=1500, min_fill=0.12,
 
     bank = build_bank_from_arrays(
         board, goals, pr, pc, min_performance=min_performance,
-        spawn_prob=spawn_prob, static_goals=False)
+        spawn_prob=spawn_prob, static_goals=False,
+        spawnless=(task != "append-spawn"))
     return bank, conv_b & conv_g
