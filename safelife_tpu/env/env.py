@@ -217,6 +217,7 @@ class BatchedSafeLifeEnv:
                  and not cfg.can_toggle_powers and not cfg.can_toggle_colors)
         effect_count = None
         reset_boards = None
+        packed_view = None
         if fused:
             # Fast path: fused Pallas kernels do action + both CA advances
             # (in-core PRNG) + scoring + exit recolor + side-effect count —
@@ -235,6 +236,10 @@ class BatchedSafeLifeEnv:
                     fresh = self._fresh_state_fields(bank, idx)
             seed = jax.random.randint(
                 k_board, (), 0, jnp.int32(2**31 - 1), dtype=jnp.int32)
+            # On the auto-reset path the kernel also emits the packed
+            # agent-centered view from its VMEM residency (the boards
+            # never make a second HBM round-trip for observations).
+            kernel_obs = cfg.auto_reset and cfg.compute_obs
             out = env_step_pallas.fused_step(
                 state.board, state.goals, state.init_board, action,
                 state.agent_row, state.agent_col, state.orientation,
@@ -247,7 +252,11 @@ class BatchedSafeLifeEnv:
                 init_goals=state.init_goals,
                 episode_length=state.episode_length,
                 fresh=fresh,
-                time_limit=cfg.time_limit if cfg.auto_reset else 0)
+                time_limit=cfg.time_limit if cfg.auto_reset else 0,
+                obs_view=cfg.view_shape if kernel_obs else None,
+                exit_row=state.exit_row, exit_col=state.exit_col,
+                exit_valid=state.exit_valid,
+                remove_white_goals=cfg.remove_white_goals)
             (board, goals, agent_row, agent_col, orientation, exited,
              points, comp1, poss1, ce1, effect_count) = out[:11]
             if cfg.auto_reset:
@@ -255,6 +264,8 @@ class BatchedSafeLifeEnv:
                     board=board, goals=goals,
                     init_board=out[11], init_goals=out[12],
                     fresh=fresh, idx=idx)
+                if kernel_obs:
+                    packed_view = out[13]
             exit_reward = exited.astype(jnp.float32) * jnp.float32(
                 cfg.points_on_level_exit)
             act = agent_ops.ActionResult(
@@ -332,8 +343,16 @@ class BatchedSafeLifeEnv:
                 + done.sum().astype(jnp.int32),
             )
 
+        if packed_view is not None:
+            obs = obs_ops.unpack_channels(packed_view, cfg.output_channels) \
+                if cfg.output_channels is not None \
+                else jnp.transpose(packed_view, (2, 0, 1))
+        elif cfg.compute_obs:
+            obs = self.observe(new_state)
+        else:
+            obs = None
         ts = TimeStep(
-            obs=self.observe(new_state) if cfg.compute_obs else None,
+            obs=obs,
             reward=reward, done=done, times_up=times_up,
             episode_length=mid.episode_length,
             episode_reward=mid.episode_reward,

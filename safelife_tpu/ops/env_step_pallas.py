@@ -147,31 +147,107 @@ def _action_kernel(si_ref, board_ref, out_board_ref, out_i_ref):
     out_i_ref[3, :] = exited.astype(jnp.int32)
 
 
+def _roll_back(x, amount, axis):
+    """jnp.roll(x, -amount, axis) in-kernel."""
+    n = x.shape[axis]
+    return pltpu.roll(x, n - amount % n, axis)
+
+
+def _obs_view_block(combined, ar, ac, obs_view, exit_r, exit_c, exit_v):
+    """Packed agent-centered view of one block, all in VMEM.
+
+    The per-lane recentering is the same barrel roll as ops/obs.py
+    (log2 conditional rolls selected per lane); views larger than the
+    board tile it by concatenation; exits are projected onto the view
+    perimeter with masked reductions.
+    """
+    h, w, lanes = combined.shape
+    vh, vw = obs_view
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 1)
+
+    # Exit values read before recentering (the source positions are in
+    # board coordinates).
+    k_exits = len(exit_r)
+    vals = []
+    for i in range(k_exits):
+        src = (r_iota == exit_r[i][None, None, :]) & \
+            (c_iota == exit_c[i][None, None, :])
+        vals.append(jnp.sum(jnp.where(src, combined, 0), axis=(0, 1)))
+
+    rs = (ar - vh // 2) % h
+    cs = (ac - vw // 2) % w
+    x = combined
+    for k in range((h - 1).bit_length()):
+        bit = ((rs >> k) & 1)[None, None, :] != 0
+        x = jnp.where(bit, _roll_back(x, 1 << k, 0), x)
+    for k in range((w - 1).bit_length()):
+        bit = ((cs >> k) & 1)[None, None, :] != 0
+        x = jnp.where(bit, _roll_back(x, 1 << k, 1), x)
+    if vh > h:
+        x = jnp.concatenate([x] * (-(-vh // h)), axis=0)
+    if vw > w:
+        x = jnp.concatenate([x] * (-(-vw // w)), axis=1)
+    view = x[:vh, :vw, :]
+
+    vr_iota = jax.lax.broadcasted_iota(jnp.int32, (vh, vw, lanes), 0)
+    vc_iota = jax.lax.broadcasted_iota(jnp.int32, (vh, vw, lanes), 1)
+    for i in range(k_exits):  # row-major order: last exit wins
+        jy = (exit_r[i] - ar + h // 2) % h - h // 2
+        jx = (exit_c[i] - ac + w // 2) % w - w // 2
+        jy = jnp.clip(jy + vh // 2, 0, vh - 1)
+        jx = jnp.clip(jx + vw // 2, 0, vw - 1)
+        mask = (vr_iota == jy[None, None, :]) & \
+            (vc_iota == jx[None, None, :]) & \
+            (exit_v[i] != 0)[None, None, :]
+        view = jnp.where(mask, vals[i][None, None, :], view)
+    return view
+
+
 def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
-                    time_limit=0, spawnless=False):
+                    time_limit=0, spawnless=False, obs_view=None,
+                    num_exits=0, remove_white_goals=True):
     """CA advance + scoring + exit recolor, optionally folding the
     auto-reset select into the same write pass (``time_limit > 0``): the
     episode's done flag is computable in-kernel (times_up | game_over |
     exited), so resetting lanes swap in the fresh bank level without a
-    separate full-array select outside."""
+    separate full-array select outside.  With ``obs_view`` set (fold path
+    only), the packed agent-centered observation is emitted from the same
+    VMEM residency — the boards never make a second HBM round-trip for
+    observation extraction."""
     do_reset = time_limit > 0
+    emit_obs = obs_view is not None
+    assert not emit_obs or do_reset
+    obs_i_ref = out_obs_ref = None
     if do_reset and static_goals:
         # Static goals: goals == init_goals at all times (the goal board
         # never advances and resets swap both to the same fresh plane), so
         # the init_goals stream is dropped entirely — out_goals doubles as
         # out_init_goals.  Saves 3 full-board HBM streams per step.
-        (act_ref, board_ref, goals_ref, init_ref,
-         fb_ref, fg_ref, fib_ref,
-         out_board_ref, out_goals_ref, out_ib_ref,
-         out_i_ref) = refs
+        if emit_obs:
+            (act_ref, obs_i_ref, board_ref, goals_ref, init_ref,
+             fb_ref, fg_ref, fib_ref,
+             out_board_ref, out_goals_ref, out_ib_ref, out_obs_ref,
+             out_i_ref) = refs
+        else:
+            (act_ref, board_ref, goals_ref, init_ref,
+             fb_ref, fg_ref, fib_ref,
+             out_board_ref, out_goals_ref, out_ib_ref,
+             out_i_ref) = refs
         initg_ref = goals_ref
         fig_ref = fg_ref
         out_ig_ref = None
     elif do_reset:
-        (act_ref, board_ref, goals_ref, init_ref, initg_ref,
-         fb_ref, fg_ref, fib_ref, fig_ref,
-         out_board_ref, out_goals_ref, out_ib_ref, out_ig_ref,
-         out_i_ref) = refs
+        if emit_obs:
+            (act_ref, obs_i_ref, board_ref, goals_ref, init_ref, initg_ref,
+             fb_ref, fg_ref, fib_ref, fig_ref,
+             out_board_ref, out_goals_ref, out_ib_ref, out_ig_ref,
+             out_obs_ref, out_i_ref) = refs
+        else:
+            (act_ref, board_ref, goals_ref, init_ref, initg_ref,
+             fb_ref, fg_ref, fib_ref, fig_ref,
+             out_board_ref, out_goals_ref, out_ib_ref, out_ig_ref,
+             out_i_ref) = refs
     else:
         (board_ref, goals_ref, init_ref,
          out_board_ref, out_goals_ref, out_i_ref) = refs
@@ -247,6 +323,29 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
         out_ib_ref[:] = jnp.where(m, fib_ref[:], init_ref[:])
         if out_ig_ref is not None:
             out_ig_ref[:] = jnp.where(m, fig_ref[:], initg_ref[:])
+        if emit_obs:
+            # Post-reset state for the observation: the kernel's output
+            # boards plus reset-selected agent position and exit tables
+            # (obs_i rows: fresh_ar, fresh_ac, then exit r/c/v for the
+            # live state and the fresh levels).
+            k = num_exits
+            ar = jnp.where(done, obs_i_ref[0, :], act_ref[0, :])
+            ac = jnp.where(done, obs_i_ref[1, :], act_ref[1, :])
+            rows = lambda base: [  # noqa: E731
+                jnp.where(done, obs_i_ref[base + 3 * k + i, :],
+                          obs_i_ref[base + i, :]) for i in range(k)]
+            exit_r = rows(2)
+            exit_c = rows(2 + k)
+            exit_v = rows(2 + 2 * k)
+            final_b = jnp.where(m, fb_ref[:].astype(jnp.int32), board)
+            final_g = jnp.where(m, fg_ref[:].astype(jnp.int32), goals)
+            gcol = final_g & C.COLORS
+            if remove_white_goals:
+                gcol = jnp.where(gcol == C.COLORS, 0, gcol)
+            combined = final_b + (gcol << 3)
+            view = _obs_view_block(combined, ar, ac, obs_view,
+                                   exit_r, exit_c, exit_v)
+            out_obs_ref[:] = view.astype(jnp.uint16)
     else:
         out_board_ref[:] = board.astype(jnp.uint16)
         if static_goals:
@@ -261,12 +360,15 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
 
 
 @partial(jax.jit, static_argnames=("interpret", "static_goals",
-                                   "time_limit", "spawnless"))
+                                   "time_limit", "spawnless", "obs_view",
+                                   "remove_white_goals"))
 def fused_step(board, goals, init_board, action, agent_row, agent_col,
                orientation, game_over, can_exit0, baseline_score,
                spawn_prob, min_performance, seed, interpret=False,
                static_goals=False, init_goals=None, episode_length=None,
-               fresh=None, time_limit=0, spawnless=False):
+               fresh=None, time_limit=0, spawnless=False, obs_view=None,
+               exit_row=None, exit_col=None, exit_valid=None,
+               remove_white_goals=True):
     """Run the fused env-step core.  All per-env args are (B,) with
     B % 128 == 0; boards are (H, W, B) uint16.
 
@@ -275,9 +377,13 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
     ``init_goals``, ``episode_length`` and ``fresh`` (a dict holding the
     pre-gathered fresh board/goals/init_board/init_goals).
 
+    With ``obs_view=(vh, vw)`` (fold path only; pass the live exit
+    tables too) the packed agent-centered observation view is emitted
+    from the kernel's VMEM residency — append it as the last output.
+
     Returns (board', goals', agent_row', agent_col', orientation', exited,
     points, perf_completed, perf_possible, can_exit1[, init_board',
-    init_goals']).
+    init_goals'][, obs_view_packed]).
     """
     h, w, b = board.shape
     assert b % LANES == 0, f"batch {b} must be a multiple of {LANES}"
@@ -308,47 +414,79 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
         interpret=interpret,
     )(si, board)
 
+    emit_obs = obs_view is not None and time_limit > 0
+    num_exits = exit_row.shape[0] if emit_obs else 0
     kern = partial(_advance_kernel, static_goals=static_goals,
-                   time_limit=time_limit, spawnless=spawnless)
+                   time_limit=time_limit, spawnless=spawnless,
+                   obs_view=obs_view if emit_obs else None,
+                   num_exits=num_exits,
+                   remove_white_goals=remove_white_goals)
     common = [pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
               lane_spec(8), lane_spec(2)]
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    obs_in, obs_in_specs, obs_out_specs, obs_out_shape = [], [], [], []
+    if emit_obs:
+        k = num_exits
+        obs_i = jnp.concatenate([
+            jnp.stack([jnp.asarray(fresh["agent_row"], jnp.int32),
+                       jnp.asarray(fresh["agent_col"], jnp.int32)]),
+            exit_row.astype(jnp.int32), exit_col.astype(jnp.int32),
+            exit_valid.astype(jnp.int32),
+            fresh["exit_row"].astype(jnp.int32),
+            fresh["exit_col"].astype(jnp.int32),
+            fresh["exit_valid"].astype(jnp.int32)])
+        obs_in = [obs_i]
+        obs_in_specs = [lane_spec(2 + 6 * k)]
+        vh, vw = obs_view
+        obs_out_specs = [pl.BlockSpec((vh, vw, LANES), lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM)]
+        obs_out_shape = [jax.ShapeDtypeStruct((vh, vw, b), jnp.uint16)]
+
     if time_limit > 0 and static_goals:
         # goals == init_goals throughout for static-goal banks; drop the
         # duplicate streams (see _advance_kernel).
         outs = pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=common + [lane_spec(4)] + [board_spec] * 6,
-            out_specs=(board_spec,) * 3 + (lane_spec(8),),
-            out_shape=(bshape,) * 3 + (
-                jax.ShapeDtypeStruct((8, b), jnp.int32),),
+            in_specs=common + [lane_spec(4)] + obs_in_specs
+            + [board_spec] * 6,
+            out_specs=tuple([board_spec] * 3 + obs_out_specs
+                            + [lane_spec(8)]),
+            out_shape=tuple([bshape] * 3 + obs_out_shape
+                            + [jax.ShapeDtypeStruct((8, b), jnp.int32)]),
             compiler_params=params,
             interpret=interpret,
-        )(seed_arr, si, sf, act_i, board1, goals, init_board,
+        )(seed_arr, si, sf, act_i, *obs_in, board1, goals, init_board,
           fresh["board"], fresh["goals"], fresh["init_board"])
-        out_board, out_goals, out_ib, adv_i = outs
-        return (out_board, out_goals, act_i[0], act_i[1], act_i[2],
-                act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
-                adv_i[3].astype(bool), adv_i[4], out_ib, out_goals)
+        out_board, out_goals, out_ib, *rest = outs
+        adv_i = rest[-1]
+        ret = (out_board, out_goals, act_i[0], act_i[1], act_i[2],
+               act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
+               adv_i[3].astype(bool), adv_i[4], out_ib, out_goals)
+        return ret + (rest[0],) if emit_obs else ret
     if time_limit > 0:
         outs = pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=common + [lane_spec(4)] + [board_spec] * 8,
-            out_specs=(board_spec,) * 4 + (lane_spec(8),),
-            out_shape=(bshape,) * 4 + (
-                jax.ShapeDtypeStruct((8, b), jnp.int32),),
+            in_specs=common + [lane_spec(4)] + obs_in_specs
+            + [board_spec] * 8,
+            out_specs=tuple([board_spec] * 4 + obs_out_specs
+                            + [lane_spec(8)]),
+            out_shape=tuple([bshape] * 4 + obs_out_shape
+                            + [jax.ShapeDtypeStruct((8, b), jnp.int32)]),
             compiler_params=params,
             interpret=interpret,
-        )(seed_arr, si, sf, act_i, board1, goals, init_board, init_goals,
-          fresh["board"], fresh["goals"], fresh["init_board"],
+        )(seed_arr, si, sf, act_i, *obs_in, board1, goals, init_board,
+          init_goals, fresh["board"], fresh["goals"], fresh["init_board"],
           fresh["init_goals"])
-        out_board, out_goals, out_ib, out_ig, adv_i = outs
-        return (out_board, out_goals, act_i[0], act_i[1], act_i[2],
-                act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
-                adv_i[3].astype(bool), adv_i[4], out_ib, out_ig)
+        out_board, out_goals, out_ib, out_ig, *rest = outs
+        adv_i = rest[-1]
+        ret = (out_board, out_goals, act_i[0], act_i[1], act_i[2],
+               act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
+               adv_i[3].astype(bool), adv_i[4], out_ib, out_ig)
+        return ret + (rest[0],) if emit_obs else ret
 
     out_board, out_goals, adv_i = pl.pallas_call(
         kern,

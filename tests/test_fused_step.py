@@ -299,9 +299,13 @@ def _rollout(env, bank, actions, fresh_levels_seed=0):
     return trace
 
 
-@pytest.mark.parametrize("suite", ["benchmarks/v1.0/append-still",
-                                   "benchmarks/v1.0/prune-still"])
-def test_env_step_fused_equals_xla(suite):
+@pytest.mark.parametrize("suite,view", [
+    ("benchmarks/v1.0/append-still", (15, 15)),
+    ("benchmarks/v1.0/prune-still", (15, 15)),
+    # view > board exercises the in-kernel tiled crop (training uses 33x33)
+    ("benchmarks/v1.0/append-still", (33, 33)),
+])
+def test_env_step_fused_equals_xla(suite, view):
     bank = loader.load_bank(suite)
     # Spawn only fires next to spawner cells; spawner-free levels are
     # deterministic regardless of spawn_prob, so both paths must agree.
@@ -309,7 +313,7 @@ def test_env_step_fused_equals_xla(suite):
         "deterministic equivalence needs spawner-free levels"
     # Short time limit so auto-resets happen within the rollout.
     actions = np.random.RandomState(9).randint(0, 9, (12, B))
-    cfg = dict(time_limit=6, auto_reset=True)
+    cfg = dict(time_limit=6, auto_reset=True, view_shape=view)
     tr_xla = _rollout(
         BatchedSafeLifeEnv(EnvConfig(use_pallas=False, **cfg)), bank, actions)
     tr_fused = _rollout(
