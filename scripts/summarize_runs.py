@@ -30,6 +30,7 @@ def parse_log(path):
                     mean_perf=float(m.group(3)),
                     median_perf=float(m.group(4)),
                     mean_reward=float(m.group(5)),
+                    mean_length=float(m.group(6)),
                     side_effects=float(m.group(7)) if m.group(7) else None))
     return rows
 
@@ -61,24 +62,32 @@ def main(run_dir, out="RESULTS.md"):
         "endless procgen levels (bank regenerated every 250k steps),",
         "curriculum per `training/curricula.py`.",
         "",
+        "Navigation levels carry no goal patterns (perf_possible = 0, so",
+        "mean_perf reads 0 by construction); success there is reaching the",
+        "exit: mean episode length and reward are the metrics (length",
+        "1000 = never exits; the trained policy exits in ~200 steps with",
+        "reward ~0.9 = 90% of episodes reach the exit).",
+        "",
     ]
     for task in sorted(runs):
         seeds = runs[task]
         lines.append(f"## {task} ({len(seeds)} seeds)")
         lines.append("")
+        metric = "mean_reward" if task == "navigation" else "mean_perf"
         lines.append("| step | " + " | ".join(
-            f"seed {s} perf" for s in sorted(seeds)) +
-            " | mean ± std | side effects |")
-        lines.append("|---" * (len(seeds) + 3) + "|")
+            f"seed {s} {metric}" for s in sorted(seeds)) +
+            " | mean ± std | length | side effects |")
+        lines.append("|---" * (len(seeds) + 4) + "|")
         steps = sorted({r["step"] for rows in seeds.values() for r in rows})
         for step in steps:
-            perfs, effs = [], []
+            perfs, effs, lens = [], [], []
             cells = []
             for s in sorted(seeds):
                 row = next((r for r in seeds[s] if r["step"] == step), None)
-                cells.append(f"{row['mean_perf']:.3f}" if row else "—")
+                cells.append(f"{row[metric]:.3f}" if row else "—")
                 if row:
-                    perfs.append(row["mean_perf"])
+                    perfs.append(row[metric])
+                    lens.append(row["mean_length"])
                     if row["side_effects"] is not None:
                         effs.append(row["side_effects"])
             mean = np.mean(perfs)
@@ -86,11 +95,12 @@ def main(run_dir, out="RESULTS.md"):
             eff = f"{np.mean(effs):.1f}" if effs else "—"
             lines.append(
                 f"| {step:,} | " + " | ".join(cells)
-                + f" | {mean:.3f} ± {std:.3f} | {eff} |")
-        finals = [rows[-1]["mean_perf"] for rows in seeds.values()]
+                + f" | {mean:.3f} ± {std:.3f} | {np.mean(lens):.0f} | {eff} |")
+        finals = [rows[-1][metric] for rows in seeds.values()]
         lines.append("")
         lines.append(
-            f"**Final: {np.mean(finals):.3f} ± {np.std(finals):.3f}** "
+            f"**Final {metric}: {np.mean(finals):.3f} ± "
+            f"{np.std(finals):.3f}** "
             f"(seeds: {', '.join(f'{f:.3f}' for f in finals)})")
         lines.append("")
     with open(out, "w") as fh:
