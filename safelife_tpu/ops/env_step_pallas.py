@@ -387,11 +387,17 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
     """
     h, w, b = board.shape
     assert b % LANES == 0, f"batch {b} must be a multiple of {LANES}"
-    grid = (b // LANES,)
-    board_spec = pl.BlockSpec((h, w, LANES), lambda i: (0, 0, i),
+    # Block width: 128 lanes measures fastest for these many-stream
+    # kernels (8.2M steps/s at B=16k).  A bare single-stream CA advance
+    # prefers 1024-lane blocks (15us vs 27us), but widening the fused
+    # kernels' blocks starves the pipeline: 6.4M at 1024, 5.5M at 256 —
+    # the 10+ board streams need the finer-grained double buffering.
+    block = LANES
+    grid = (b // block,)
+    board_spec = pl.BlockSpec((h, w, block), lambda i: (0, 0, i),
                               memory_space=pltpu.VMEM)
     lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
-        (rows, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+        (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     bshape = jax.ShapeDtypeStruct((h, w, b), jnp.uint16)
 
     si = jnp.stack([
@@ -440,7 +446,7 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
         obs_in = [obs_i]
         obs_in_specs = [lane_spec(2 + 6 * k)]
         vh, vw = obs_view
-        obs_out_specs = [pl.BlockSpec((vh, vw, LANES), lambda i: (0, 0, i),
+        obs_out_specs = [pl.BlockSpec((vh, vw, block), lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM)]
         obs_out_shape = [jax.ShapeDtypeStruct((vh, vw, b), jnp.uint16)]
 

@@ -129,10 +129,11 @@ def advance_both(board, goals, spawn_prob, seed, interpret=False):
     """
     h, w, b = board.shape
     assert b % LANES == 0, f"batch {b} must be a multiple of {LANES}"
-    grid = (b // LANES,)
-    board_spec = pl.BlockSpec((h, w, LANES), lambda i: (0, 0, i),
+    block = LANES
+    grid = (b // block,)
+    board_spec = pl.BlockSpec((h, w, block), lambda i: (0, 0, i),
                               memory_space=pltpu.VMEM)
-    prob_spec = pl.BlockSpec((1, LANES), lambda i: (0, i),
+    prob_spec = pl.BlockSpec((1, block), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((h, w, b), jnp.uint16)
     return pl.pallas_call(
