@@ -46,7 +46,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_STEPS_PER_S = 10e6  # north-star from BASELINE.md
 
-BATCH = int(os.environ.get("BENCH_BATCH", 16384))
+# 65536 envs saturate the chip (8.2M steps/s at 16k -> 9.2M at 64k;
+# flat beyond); state + obs fit comfortably in 16 GB HBM.
+BATCH = int(os.environ.get("BENCH_BATCH", 65536))
 STEPS = int(os.environ.get("BENCH_STEPS", 160))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
 ROLLOUT = 20  # fresh-level cadence == PPO steps_per_env
