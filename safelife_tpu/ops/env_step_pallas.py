@@ -387,11 +387,12 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
     """
     h, w, b = board.shape
     assert b % LANES == 0, f"batch {b} must be a multiple of {LANES}"
-    # Block width: 128 lanes measures fastest for these many-stream
-    # kernels (8.2M steps/s at B=16k).  A bare single-stream CA advance
-    # prefers 1024-lane blocks (15us vs 27us), but widening the fused
-    # kernels' blocks starves the pipeline: 6.4M at 1024, 5.5M at 256 —
-    # the 10+ board streams need the finer-grained double buffering.
+    # Block width: 128 lanes is fastest end-to-end (bench.py: 8.2M
+    # steps/s at B=16k vs 5.5M with 256-lane and 6.4M with 1024-lane
+    # blocks) — the many-stream pipeline wants fine-grained double
+    # buffering.  (Only trust CHAINED timings on this stack: independent
+    # repeated calls overlap in the remote executor and can appear
+    # impossibly fast.)
     block = LANES
     grid = (b // block,)
     board_spec = pl.BlockSpec((h, w, block), lambda i: (0, 0, i),
