@@ -108,7 +108,7 @@ class BatchedSafeLifeEnv:
         Pure gathers: every reset-time quantity is precomputed in the bank,
         so an in-jit auto-reset costs one gather pass over the level arrays.
         """
-        lv = bank.take(idx)
+        lv = bank.take_onehot(idx)
         init_board = lv.board
         init_goals = lv.goals
         # update_exit_colors at reset: exits closed unless immediately open.
@@ -249,6 +249,8 @@ class BatchedSafeLifeEnv:
                            if cfg.pallas_interpret else False),
                 static_goals=bank.static_goals,
                 spawnless=bank.spawnless,
+                simple_goals=bank.simple_goals,
+                perf_possible=state.perf_possible,
                 init_goals=state.init_goals,
                 episode_length=state.episode_length,
                 fresh=fresh,

@@ -53,6 +53,15 @@ class LevelBank(struct.PyTreeNode):
     # spawner adjacency, so it can never fire) — static so jitted steps
     # specialize.  All the *-still suites qualify.
     spawnless: bool = struct.field(pytree_node=False, default=False)
+    # True when every goal board is "simple": no PRESERVING/INHIBITING/
+    # SPAWNING/EXIT bits (walls, crates, trees, life are all fine).  The
+    # goals CA then collapses — no presence OR-stencil, 4-bit packed
+    # count fields (ops/life_pallas._advance_goals_simple), roughly
+    # halving the goal advance in dynamic-goals steps.  The invariants
+    # are inductive under the rule, so certifying the initial goal boards
+    # at bank build certifies every reachable state.  All the *-dynamic
+    # suites qualify.  Irrelevant when static_goals.
+    simple_goals: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_levels(self):
@@ -66,6 +75,36 @@ class LevelBank(struct.PyTreeNode):
         """Gather a batch of levels by index -> leaves with trailing B."""
         return jax.tree.map(
             lambda x: jnp.take(x, idx, axis=-1), self)
+
+    def take_onehot(self, idx):
+        """MXU one-hot gather of a batch of levels (TPU fast path).
+
+        ``take`` lowers to a traced-index gather along the trailing axis —
+        pathological on TPU (~10x a CA advance per call).  Here every leaf
+        is flattened into one (R, N) float32 matrix and the batch gather
+        becomes a single (R, N) x (N, B) matmul with a one-hot selector:
+        ~100x faster on the MXU.  Exact by construction: each output
+        element is a sum with exactly one nonzero term, and all leaf values
+        (u16 boards, small ints, f32 scalars) are representable in f32.
+        """
+        leaves, treedef = jax.tree.flatten(self)
+        n = self.num_levels
+        b = idx.shape[0]
+        flat = [l.reshape(-1, n).astype(jnp.float32) for l in leaves]
+        sizes = [f.shape[0] for f in flat]
+        mat = jnp.concatenate(flat, axis=0)                   # (R, N)
+        onehot = (jnp.arange(n, dtype=jnp.int32)[:, None]
+                  == idx[None, :]).astype(jnp.float32)         # (N, B)
+        out = jax.lax.dot_general(
+            mat, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (R, B)
+        picked = []
+        off = 0
+        for leaf, size in zip(leaves, sizes):
+            sl = out[off:off + size].reshape(leaf.shape[:-1] + (b,))
+            picked.append(sl.astype(leaf.dtype))
+            off += size
+        return jax.tree.unflatten(treedef, picked)
 
 
 class EnvState(struct.PyTreeNode):

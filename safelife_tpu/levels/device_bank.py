@@ -16,11 +16,12 @@ from ..ops import scoring
 
 
 @partial(jax.jit, static_argnames=("max_exits", "static_goals",
-                                   "spawnless"))
+                                   "spawnless", "simple_goals"))
 def build_bank_from_arrays(board, goals, agent_row, agent_col,
                            orientation=None, spawn_prob=None,
                            min_performance=-1.0, max_exits=4,
-                           static_goals=False, spawnless=False):
+                           static_goals=False, spawnless=False,
+                           simple_goals=False):
     """Assemble a LevelBank from (H, W, N) device arrays.
 
     ``static_goals`` / ``spawnless`` must be asserted by the caller (they
@@ -54,4 +55,4 @@ def build_bank_from_arrays(board, goals, agent_row, agent_col,
         exit_row=er, exit_col=ec, exit_valid=ev,
         baseline_score=baseline, possible0=possible0, points0=points0,
         can_exit0=can_exit0, static_goals=static_goals,
-        spawnless=spawnless)
+        spawnless=spawnless, simple_goals=simple_goals)

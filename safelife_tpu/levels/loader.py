@@ -167,8 +167,16 @@ def build_bank(levels, max_exits=4):
     spawnless = not ((board_np & C.SPAWNING).any()
                      or (goals_np & C.SPAWNING).any())
 
+    # "Simple" goal boards let the fused step run the collapsed B3/S23
+    # goal advance (ops/life_pallas._advance_goals_simple).  The
+    # conditions are inductive under the CA rule, so checking the initial
+    # goal boards certifies every reachable state.
+    forbidden = C.PRESERVING | C.INHIBITING | C.SPAWNING | C.EXIT
+    simple_goals = not bool((goals_np & forbidden).any())
+
     return LevelBank(
         spawnless=bool(spawnless),
+        simple_goals=simple_goals,
         board=jnp.asarray(board_np),
         goals=jnp.asarray(goals_np),
         agent_row=stack("agent_row"),

@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import cells as C
-from .life_pallas import LANES, _advance_block, _spawn_field
+from .life_pallas import (LANES, _advance_block, _advance_goals_simple,
+                          _spawn_field)
 
 _DR = (-1, 0, 1, 0)
 _DC = (0, 1, 0, -1)
@@ -52,9 +53,10 @@ def _select_by_orient(o, table):
 
 
 # Each goal-color row of the 8x8 point table packed into one int32: entry
-# value+3 (in [0, 8]) in bits [4c, 4c+4).  The per-cell lookup is then an
-# 8-term row select + a variable shift — ~29 VPU ops/cell instead of the
-# 78 of the 26-term select chain (scoring was ~28% of the fused step).
+# value+3 (in [0, 8]) in bits [4c, 4c+4).  The per-cell lookup selects the
+# row with a balanced 3-level select tree on the goal-color bits (7
+# selects instead of the 8-term multiply-accumulate chain), then extracts
+# the nibble with a variable shift.
 _PACKED_ROWS = tuple(
     int(sum((int(v) + 3) << (4 * c) for c, v in enumerate(row)))
     for row in C.POINT_TABLE)
@@ -62,10 +64,18 @@ assert all(0 <= r < 2**31 for r in _PACKED_ROWS)
 
 
 def _pts_cell(gc, cc):
-    """point_table[gc, cc] per cell via packed-row select + shift."""
-    packed = jnp.int32(_PACKED_ROWS[0]) * (gc == 0)
-    for g in range(1, 8):
-        packed = packed + jnp.int32(_PACKED_ROWS[g]) * (gc == g)
+    """point_table[gc, cc] per cell via select-tree row pick + shift."""
+    R = _PACKED_ROWS
+    b0 = (gc & 1) != 0
+    b1 = (gc & 2) != 0
+    b2 = (gc & 4) != 0
+    t01 = jnp.where(b0, jnp.int32(R[1]), jnp.int32(R[0]))
+    t23 = jnp.where(b0, jnp.int32(R[3]), jnp.int32(R[2]))
+    t45 = jnp.where(b0, jnp.int32(R[5]), jnp.int32(R[4]))
+    t67 = jnp.where(b0, jnp.int32(R[7]), jnp.int32(R[6]))
+    t03 = jnp.where(b1, t23, t01)
+    t47 = jnp.where(b1, t67, t45)
+    packed = jnp.where(b2, t47, t03)
     return ((packed >> (cc * 4)) & 15) - 3
 
 
@@ -94,18 +104,32 @@ def _action_kernel(si_ref, board_ref, out_board_ref, out_i_ref):
 
     # The four agent-neighborhood reads, as masked reductions (a separate
     # XLA gather would be cheaper as an op, but every extra op in the step
-    # costs a dispatch; keeping them in-kernel wins overall).
-    r_iota0 = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 0)
-    c_iota0 = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 1)
+    # costs a dispatch; keeping them in-kernel wins overall).  The four
+    # cell masks are built once and shared with the write pass below, and
+    # the reads are packed pairwise (cell_a | cell_b << 16) so the whole
+    # neighborhood costs two reduction passes instead of four.  The packed
+    # positions are always distinct ((dr, dc) != 0 even for NULL, and
+    # 3*|d| < board size), so the OR-combine never collides.
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 1)
 
-    def gather(r, c):
-        m = (r_iota0 == r[None, None, :]) & (c_iota0 == c[None, None, :])
-        return jnp.sum(jnp.where(m, board, 0), axis=(0, 1))
+    def cell_mask(r, c):
+        return (r_iota == r[None, None, :]) & (c_iota == c[None, None, :])
 
-    v0 = gather(r0, c0)
-    v1 = gather(r1, c1)
-    v2 = gather(r2, c2)
-    v3 = gather(r3, c3)
+    m0 = cell_mask(r0, c0)
+    m1 = cell_mask(r1, c1)
+    m2 = cell_mask(r2, c2)
+    m3 = cell_mask(r3, c3)
+
+    hi = board << 16
+    g01 = jnp.sum(jnp.where(m0, board, 0) | jnp.where(m1, hi, 0),
+                  axis=(0, 1))
+    g23 = jnp.sum(jnp.where(m2, board, 0) | jnp.where(m3, hi, 0),
+                  axis=(0, 1))
+    v0 = g01 & 0xFFFF
+    v1 = (g01 >> 16) & 0xFFFF
+    v2 = g23 & 0xFFFF
+    v3 = (g23 >> 16) & 0xFFFF
 
     front_empty = v1 == 0
     front_exit = ~front_empty & ((v1 & C.EXIT) != 0) & (can_exit0 != 0)
@@ -120,24 +144,16 @@ def _action_kernel(si_ref, board_ref, out_board_ref, out_i_ref):
     tgl_create = is_toggle & (v1 == 0)
     tgl_destroy = is_toggle & (v1 != 0) & ((v1 & C.DESTRUCTIBLE) != 0)
 
-    # ---- masked writes (select chain; masks recomputed inline) ----------
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 0)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 1)
-
-    def cell_mask(r, c):
-        return (r_iota == r[None, None, :]) & (c_iota == c[None, None, :])
-
+    # ---- masked writes (select chain; cell masks shared with the reads) -
     p1_val = jnp.where(moved, v0,
                        jnp.where(tgl_create, C.LIFE | player_color, 0))
     p0_val = jnp.where(pulled, v2, 0)
-    board = jnp.where(
-        cell_mask(r3, c3) & (is_move & push_to_empty)[None, None, :],
-        v1[None, None, :], board)
-    board = jnp.where(
-        cell_mask(r1, c1) & (moved | tgl_create | tgl_destroy)[None, None, :],
-        p1_val[None, None, :], board)
-    board = jnp.where(cell_mask(r2, c2) & pulled[None, None, :], 0, board)
-    board = jnp.where(cell_mask(r0, c0) & moved[None, None, :],
+    board = jnp.where(m3 & (is_move & push_to_empty)[None, None, :],
+                      v1[None, None, :], board)
+    board = jnp.where(m1 & (moved | tgl_create | tgl_destroy)[None, None, :],
+                      p1_val[None, None, :], board)
+    board = jnp.where(m2 & pulled[None, None, :], 0, board)
+    board = jnp.where(m0 & moved[None, None, :],
                       p0_val[None, None, :], board)
 
     out_board_ref[:] = board.astype(jnp.uint16)
@@ -205,8 +221,8 @@ def _obs_view_block(combined, ar, ac, obs_view, exit_r, exit_c, exit_v):
 
 
 def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
-                    time_limit=0, spawnless=False, obs_view=None,
-                    num_exits=0, remove_white_goals=True):
+                    time_limit=0, spawnless=False, simple_goals=False,
+                    obs_view=None, num_exits=0, remove_white_goals=True):
     """CA advance + scoring + exit recolor, optionally folding the
     auto-reset select into the same write pass (``time_limit > 0``): the
     episode's done flag is computable in-kernel (times_up | game_over |
@@ -259,8 +275,6 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
     if spawnless:
         # No spawner cells anywhere in the bank: skip the PRNG entirely.
         board = _advance_block(board_ref[:].astype(jnp.int32), None)
-        goals = goals_ref[:].astype(jnp.int32) if static_goals else \
-            _advance_block(goals_ref[:].astype(jnp.int32), None)
     else:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         spawn_prob = sf_ref[0, :]
@@ -268,12 +282,19 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
         board = _advance_block(
             board_ref[:].astype(jnp.int32),
             _spawn_field((h, w, lanes), thresh24[None, None, :]))
-        if static_goals:
-            goals = goals_ref[:].astype(jnp.int32)
-        else:
-            goals = _advance_block(
-                goals_ref[:].astype(jnp.int32),
-                _spawn_field((h, w, lanes), thresh24[None, None, :]))
+    if static_goals:
+        goals = goals_ref[:].astype(jnp.int32)
+    elif simple_goals:
+        # Certified-simple goal boards: spawn can never fire on them and
+        # the rule collapses (see _advance_goals_simple) — bit-exact vs
+        # the full rule on such boards.
+        goals = _advance_goals_simple(goals_ref[:].astype(jnp.int32))
+    elif spawnless:
+        goals = _advance_block(goals_ref[:].astype(jnp.int32), None)
+    else:
+        goals = _advance_block(
+            goals_ref[:].astype(jnp.int32),
+            _spawn_field((h, w, lanes), thresh24[None, None, :]))
 
     # ---- scoring ------------------------------------------------------------
     alive = (board & 1) != 0
@@ -284,9 +305,15 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
     perf_mask = alive & ~frozen_immov
     sign_cell = jnp.sign(pts_cell)
     score = jnp.sum(jnp.where(perf_mask, sign_cell, 0), axis=(0, 1))
-    possible = jnp.sum(((gc != 0) & (gc != 7)).astype(jnp.int32), axis=(0, 1))
     comp = score - baseline
-    poss = possible - baseline
+    if static_goals:
+        # The goal board never changes, so the possible score is the live
+        # per-lane value computed at reset (passed through si row 8).
+        poss = si_ref[8, :]
+    else:
+        possible = jnp.sum(((gc != 0) & (gc != 7)).astype(jnp.int32),
+                           axis=(0, 1))
+        poss = possible - baseline
 
     # ---- exit recolor ---------------------------------------------------------
     ce1 = (min_perf < 0) | (comp.astype(jnp.float32)
@@ -360,15 +387,17 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
 
 
 @partial(jax.jit, static_argnames=("interpret", "static_goals",
-                                   "time_limit", "spawnless", "obs_view",
+                                   "time_limit", "spawnless",
+                                   "simple_goals", "obs_view",
                                    "remove_white_goals"))
 def fused_step(board, goals, init_board, action, agent_row, agent_col,
                orientation, game_over, can_exit0, baseline_score,
                spawn_prob, min_performance, seed, interpret=False,
                static_goals=False, init_goals=None, episode_length=None,
-               fresh=None, time_limit=0, spawnless=False, obs_view=None,
+               fresh=None, time_limit=0, spawnless=False,
+               simple_goals=False, obs_view=None,
                exit_row=None, exit_col=None, exit_valid=None,
-               remove_white_goals=True):
+               remove_white_goals=True, perf_possible=None):
     """Run the fused env-step core.  All per-env args are (B,) with
     B % 128 == 0; boards are (H, W, B) uint16.
 
@@ -408,14 +437,19 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
         game_over.astype(jnp.int32), can_exit0.astype(jnp.int32),
         jnp.asarray(baseline_score, jnp.int32),
         jnp.zeros(b, jnp.int32) if episode_length is None
-        else jnp.asarray(episode_length, jnp.int32)])
+        else jnp.asarray(episode_length, jnp.int32),
+        jnp.zeros(b, jnp.int32) if perf_possible is None
+        else jnp.asarray(perf_possible, jnp.int32)])
+    if static_goals:
+        assert perf_possible is not None, \
+            "static_goals=True needs the live perf_possible (si row 8)"
     sf = jnp.stack([jnp.asarray(spawn_prob, jnp.float32),
                     jnp.asarray(min_performance, jnp.float32)])
 
     board1, act_i = pl.pallas_call(
         _action_kernel,
         grid=grid,
-        in_specs=[lane_spec(8), board_spec],
+        in_specs=[lane_spec(9), board_spec],
         out_specs=(board_spec, lane_spec(4)),
         out_shape=(bshape, jax.ShapeDtypeStruct((4, b), jnp.int32)),
         interpret=interpret,
@@ -425,11 +459,12 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
     num_exits = exit_row.shape[0] if emit_obs else 0
     kern = partial(_advance_kernel, static_goals=static_goals,
                    time_limit=time_limit, spawnless=spawnless,
+                   simple_goals=simple_goals,
                    obs_view=obs_view if emit_obs else None,
                    num_exits=num_exits,
                    remove_white_goals=remove_white_goals)
     common = [pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-              lane_spec(8), lane_spec(2)]
+              lane_spec(9), lane_spec(2)]
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 

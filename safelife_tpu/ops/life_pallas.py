@@ -39,20 +39,21 @@ def _advance_block(board, spawn):
     the spawn draw is masked by spawner adjacency, so on such boards it
     can never fire and the arithmetic is pure waste."""
     alive = board & 1
-    has_r = (board >> C.COLOR_BIT) & 1
-    has_g = (board >> (C.COLOR_BIT + 1)) & 1
-    has_b = (board >> (C.COLOR_BIT + 2)) & 1
     if spawn is None:
         cw = alive
     else:
         spawning = (board >> C.SPAWNING_BIT) & 1
         cw = alive + 2 * spawning
+    # The three color bits spread to 5-bit field spacing (r@0, g@5, b@10)
+    # with one multiply: partial products of (2^0 + 2^4 + 2^8) land
+    # uniquely on the masked positions {0, 5, 10}, so one mask recovers
+    # the deposit — then a single multiply by cw weights all three fields.
+    c3 = (board >> C.COLOR_BIT) & 7
+    spread = (c3 * 0x111) & 0x421
     has_d = ((board >> C.DESTRUCTIBLE_BIT) | (board >> C.EXIT_BIT)) & 1
 
     packed = (alive
-              + ((has_r * cw) << 5)
-              + ((has_g * cw) << 10)
-              + ((has_b * cw) << 15)
+              + ((spread * cw) << 5)
               + ((has_d * alive) << 20))
 
     h, w = board.shape[0], board.shape[1]
@@ -67,10 +68,16 @@ def _advance_block(board, spawn):
 
     counts = nb_sum(packed)
     n_alive = counts & 31
-    inherit = jnp.where(((counts >> 5) & 31) >= 2, C.COLOR_R, 0)
-    inherit |= jnp.where(((counts >> 10) & 31) >= 2, C.COLOR_G, 0)
-    inherit |= jnp.where(((counts >> 15) & 31) >= 2, C.COLOR_B, 0)
-    destr2 = ((counts >> 20) & 31) >= 2
+    # "field >= 2" for the four 5-bit count fields (r@5, g@10, b@15, d@20):
+    # keep each field's bits above its unit bit, OR-fold them onto the
+    # field base, then deposit the three color answers straight into the
+    # COLOR_R/G/B bit positions with one multiply (unique partial
+    # products on the masked positions, as in the packing above).
+    m = (counts >> 1) & ((15 << 5) | (15 << 10) | (15 << 15) | (15 << 20))
+    m = m | (m >> 2)
+    m = m | (m >> 1)
+    t = m & ((1 << 5) | (1 << 10) | (1 << 15))
+    inherit = ((t >> 4) * 0x111) & C.COLORS
 
     flags = nb_or(board)
     preserved = (flags & C.PRESERVING) != 0
@@ -81,7 +88,7 @@ def _advance_block(board, spawn):
     three = n_alive == 3
     survives = frozen | preserved | three | (n_alive == 4)
     born = three & ~frozen & ~inhibited
-    born_cell = C.ALIVE | inherit | jnp.where(destr2, C.DESTRUCTIBLE, 0)
+    born_cell = C.ALIVE | inherit | ((m >> 17) & C.DESTRUCTIBLE)
 
     if spawn is None:
         return jnp.where(
@@ -97,6 +104,53 @@ def _advance_block(board, spawn):
         jnp.where(survives, board, 0),
         jnp.where(born, born_cell, jnp.where(spawned, spawn_cell, board)),
     )
+
+
+def _advance_goals_simple(goals):
+    """The CA rule on a *certified simple* goal board: no PRESERVING,
+    INHIBITING, SPAWNING or EXIT bits anywhere (certified at bank build —
+    see ``LevelBank.simple_goals``; walls, crates, trees and plain life
+    are all fine).
+
+    Under those invariants the general rule collapses: nothing is
+    preserved or inhibited, spawn can never fire (no spawner adjacency),
+    and the destructible-parent count only needs the DESTRUCTIBLE bit
+    (EXIT is absent).  The presence OR-stencil disappears entirely and
+    the packed neighbor word shrinks to five 4-bit fields, roughly
+    halving the cost of the goal advance in the dynamic-goals step.  The
+    invariants are inductive — born cells are ALIVE|colors|maybe
+    DESTRUCTIBLE, spawn never fires — so certifying the initial goal
+    boards certifies every reachable one, and the result is bit-exact vs
+    :func:`_advance_block` on such boards (tested).
+    """
+    alive = goals & 1
+    c3 = (goals >> C.COLOR_BIT) & 7
+    spread = (c3 * 0x49) & 0x111           # color bits at r@0, g@4, b@8
+    has_d = (goals >> C.DESTRUCTIBLE_BIT) & alive
+    packed = alive + ((spread * alive) << 4) + (has_d << 16)
+
+    h, w = goals.shape[0], goals.shape[1]
+    r = packed + pltpu.roll(packed, 1, 1) + pltpu.roll(packed, w - 1, 1)
+    counts = r + pltpu.roll(r, 1, 0) + pltpu.roll(r, h - 1, 0)
+
+    n_alive = counts & 15
+    # per-field ">= 2" fold, then one multiply deposits r/g/b into the
+    # COLOR bit positions (unique partial products on masked positions).
+    m = (counts >> 1) & ((7 << 4) | (7 << 8) | (7 << 12) | (7 << 16))
+    m = m | (m >> 1)
+    m = m | (m >> 1)
+    t = m & ((1 << 4) | (1 << 8) | (1 << 12))
+    inherit = ((t >> 3) * 0x124) & C.COLORS
+
+    is_alive = alive != 0
+    frozen = (goals & C.FROZEN) != 0
+    three = n_alive == 3
+    survives = frozen | three | (n_alive == 4)
+    born = three & ~frozen
+    born_cell = C.ALIVE | inherit | ((m >> 13) & C.DESTRUCTIBLE)
+    return jnp.where(
+        is_alive, jnp.where(survives, goals, 0),
+        jnp.where(born, born_cell, goals))
 
 
 def _spawn_field(shape, thresh24):
@@ -150,6 +204,32 @@ def advance_both(board, goals, spawn_prob, seed, interpret=False):
     )(jnp.asarray(seed, jnp.int32).reshape(1),
       jnp.asarray(spawn_prob, jnp.float32).reshape(1, b),
       board, goals)
+
+
+def _simple_kernel(goals_ref, out_ref):
+    out_ref[:] = _advance_goals_simple(
+        goals_ref[:].astype(jnp.int32)).astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def advance_simple(goals, interpret=False):
+    """Run the collapsed simple-goals rule standalone (test hook).
+
+    goals: (H, W, B) uint16 certified simple (see LevelBank.simple_goals);
+    equals the full rule with no spawn on such boards.
+    """
+    h, w, b = goals.shape
+    assert b % LANES == 0
+    spec = pl.BlockSpec((h, w, LANES), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _simple_kernel,
+        grid=(b // LANES,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((h, w, b), jnp.uint16),
+        interpret=interpret,
+    )(goals)
 
 
 def _field_kernel(board_ref, spawn_ref, out_ref):

@@ -88,6 +88,56 @@ def test_advance_block_matches_xla_on_benchmark_levels():
         b, g = b2, g2
 
 
+def _simple_goal_soup(rng, shape, density=0.2):
+    """Random boards satisfying the LevelBank.simple_goals invariants:
+    no PRESERVING/INHIBITING/SPAWNING/EXIT bits.  Walls, crates, trees,
+    hard (indestructible) life and colors are all allowed."""
+    board = np.zeros(shape, np.uint16)
+    allowed = (C.ALIVE, C.DESTRUCTIBLE, C.FROZEN, C.PUSHABLE, C.PULLABLE,
+               C.COLOR_R, C.COLOR_G, C.COLOR_B)
+    for f in allowed:
+        board |= np.uint16(f) * (rng.random(shape) < density).astype(
+            np.uint16)
+    return board
+
+
+def test_advance_goals_simple_matches_full_rule():
+    """The collapsed simple-goals rule is bit-exact vs the general rule
+    (and its invariants are inductive: re-certify after every step)."""
+    rng = np.random.RandomState(77)
+    forbidden = np.uint16(C.PRESERVING | C.INHIBITING | C.SPAWNING | C.EXIT)
+    g = jnp.asarray(_simple_goal_soup(rng, (26, 26, B)))
+    no_spawn = jnp.zeros(g.shape, bool)
+    for t in range(6):
+        got = life_pallas.advance_simple(g, interpret=INTERP)
+        want = life.advance_board(g, no_spawn)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"step {t}")
+        assert not (np.asarray(got) & forbidden).any()
+        g = got
+
+
+def test_fused_step_simple_goals_flag():
+    """fused_step(simple_goals=True) equals the full dynamic-goals path
+    when the goal boards are certified simple."""
+    rng = np.random.RandomState(91)
+    (board, goals, init_board, action, ar, ac, orient,
+     game_over, ce0, baseline, min_perf) = _random_step_inputs(rng)
+    goals = _simple_goal_soup(rng, goals.shape)
+    zero_p = np.zeros(B, np.float32)
+    args = (jnp.asarray(board), jnp.asarray(goals), jnp.asarray(init_board),
+            jnp.asarray(action), jnp.asarray(ar), jnp.asarray(ac),
+            jnp.asarray(orient), jnp.asarray(game_over), jnp.asarray(ce0),
+            jnp.asarray(baseline), jnp.asarray(zero_p),
+            jnp.asarray(min_perf))
+    full = env_step_pallas.fused_step(*args, seed=7, interpret=INTERP)
+    simple = env_step_pallas.fused_step(*args, seed=7, interpret=INTERP,
+                                        simple_goals=True)
+    for i, (a, b) in enumerate(zip(full, simple)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"output {i}")
+
+
 # ---------------------------------------------------------------------------
 # 2. advance_both: fused two-board advance + in-core PRNG.
 # ---------------------------------------------------------------------------
@@ -198,12 +248,17 @@ def test_fused_step_matches_xla_composition(static_goals):
      game_over, ce0, baseline, min_perf) = _random_step_inputs(rng)
     zero_p = np.zeros(B, np.float32)
 
+    # With static goals the kernel no longer recomputes the (constant)
+    # possible score; the caller supplies the live per-lane value.
+    poss_in = (scoring.possible_score(jnp.asarray(goals))
+               - jnp.asarray(baseline)) if static_goals else None
     out = env_step_pallas.fused_step(
         jnp.asarray(board), jnp.asarray(goals), jnp.asarray(init_board),
         jnp.asarray(action), jnp.asarray(ar), jnp.asarray(ac),
         jnp.asarray(orient), jnp.asarray(game_over), jnp.asarray(ce0),
         jnp.asarray(baseline), jnp.asarray(zero_p), jnp.asarray(min_perf),
-        seed=7, interpret=INTERP, static_goals=static_goals)
+        seed=7, interpret=INTERP, static_goals=static_goals,
+        perf_possible=poss_in)
     (f_board, f_goals, f_ar, f_ac, f_or, f_exited,
      f_points, f_comp, f_poss, f_ce1, f_effect) = out
 
