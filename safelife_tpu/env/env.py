@@ -125,7 +125,7 @@ class BatchedSafeLifeEnv:
             min_performance=lv.min_performance.astype(jnp.float32),
             baseline_score=lv.baseline_score,
             exit_row=lv.exit_row, exit_col=lv.exit_col,
-            exit_valid=lv.exit_valid,
+            exit_valid=lv.exit_valid, exit_gcol=lv.exit_gcol,
             level_idx=idx.astype(jnp.int32),
             points_last=lv.points0,
             perf_completed=jnp.zeros(batch, jnp.int32),
@@ -257,7 +257,7 @@ class BatchedSafeLifeEnv:
                 time_limit=cfg.time_limit if cfg.auto_reset else 0,
                 obs_view=cfg.view_shape if kernel_obs else None,
                 exit_row=state.exit_row, exit_col=state.exit_col,
-                exit_valid=state.exit_valid,
+                exit_valid=state.exit_valid, exit_gcol=state.exit_gcol,
                 remove_white_goals=cfg.remove_white_goals)
             (board, goals, agent_row, agent_col, orientation, exited,
              points, comp1, poss1, ce1, effect_count) = out[:11]

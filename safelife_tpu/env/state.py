@@ -39,6 +39,12 @@ class LevelBank(struct.PyTreeNode):
     exit_row: Any     # (K, N) int32 — exit locations, row-major order
     exit_col: Any     # (K, N) int32
     exit_valid: Any   # (K, N) bool
+    # Goal color (3-bit, pre white-removal) at each exit cell.  For
+    # static-goal banks this lets the fused obs kernel synthesize the
+    # projected exit pixel from per-lane scalars (the exit cell's board
+    # value is always LEVEL_EXIT|maybe-red after recoloring) instead of
+    # reading the board with a masked reduction per exit.
+    exit_gcol: Any    # (K, N) int32
     baseline_score: Any   # (N,) int32 — performance_score of the raw level
     possible0: Any    # (N,) int32 — possible_score(goals) - baseline
     points0: Any      # (N,) int32 — current_points of the raw level
@@ -125,6 +131,7 @@ class EnvState(struct.PyTreeNode):
     exit_row: Any     # (K, B) int32 — exit locations (row-major order)
     exit_col: Any     # (K, B) int32
     exit_valid: Any   # (K, B) bool
+    exit_gcol: Any    # (K, B) int32 — goal color at each exit cell
     level_idx: Any    # (B,) int32 — bank index being played
     # Episode bookkeeping
     points_last: Any      # (B,) int32 — cached current_points for the delta

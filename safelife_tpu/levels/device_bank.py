@@ -11,6 +11,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .. import cells as C
 from ..env.state import LevelBank, find_exits
 from ..ops import scoring
 
@@ -44,6 +45,11 @@ def build_bank_from_arrays(board, goals, agent_row, agent_col,
     can_exit0 = (min_performance < 0) | (
         0 >= min_performance * possible0.astype(jnp.float32))
     er, ec, ev = find_exits(board, max_exits)
+    flat_goals = goals.reshape(h * w, n).astype(jnp.int32)
+    pos = er * w + ec                                     # (K, N)
+    exit_gcol = jnp.where(
+        ev, (jnp.take_along_axis(flat_goals, pos, axis=0)
+             >> C.COLOR_BIT) & 7, 0)
 
     return LevelBank(
         board=board, goals=goals,
@@ -52,7 +58,7 @@ def build_bank_from_arrays(board, goals, agent_row, agent_col,
         orientation=jnp.asarray(orientation, jnp.int32),
         spawn_prob=jnp.asarray(spawn_prob, jnp.float32),
         min_performance=min_performance,
-        exit_row=er, exit_col=ec, exit_valid=ev,
+        exit_row=er, exit_col=ec, exit_valid=ev, exit_gcol=exit_gcol,
         baseline_score=baseline, possible0=possible0, points0=points0,
         can_exit0=can_exit0, static_goals=static_goals,
         spawnless=spawnless, simple_goals=simple_goals)

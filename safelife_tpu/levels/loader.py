@@ -142,6 +142,10 @@ def build_bank(levels, max_exits=4):
     from ..ops import life_numpy
 
     exits = [find_exits_np(lv["board"], max_exits) for lv in levels]
+    exit_gcol = [
+        np.where(e[2], (lv["goals"][e[0], e[1]].astype(np.int32)
+                        >> C.COLOR_BIT) & 7, 0)
+        for lv, e in zip(levels, exits)]
     # Goals are "static" when advancing them is the identity for every
     # level (no spawners, CA fixed point) — lets the env skip the goals
     # advance entirely.
@@ -187,6 +191,7 @@ def build_bank(levels, max_exits=4):
         exit_row=jnp.asarray(np.stack([e[0] for e in exits], axis=-1)),
         exit_col=jnp.asarray(np.stack([e[1] for e in exits], axis=-1)),
         exit_valid=jnp.asarray(np.stack([e[2] for e in exits], axis=-1)),
+        exit_gcol=jnp.asarray(np.stack(exit_gcol, axis=-1)),
         baseline_score=jnp.asarray(baseline),
         possible0=jnp.asarray(possible0),
         points0=jnp.asarray(points0),

@@ -110,11 +110,14 @@ def _action_kernel(si_ref, board_ref, out_board_ref, out_i_ref):
     # neighborhood costs two reduction passes instead of four.  The packed
     # positions are always distinct ((dr, dc) != 0 even for NULL, and
     # 3*|d| < board size), so the OR-combine never collides.
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 0)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 1)
+    # Row/col equality computed on (h, L)/(w, L) planes (1/W the cost of
+    # full-size compares); only the AND touches the full block.
+    r_iota2 = jax.lax.broadcasted_iota(jnp.int32, (h, lanes), 0)
+    c_iota2 = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
 
     def cell_mask(r, c):
-        return (r_iota == r[None, None, :]) & (c_iota == c[None, None, :])
+        return (r_iota2 == r[None, :])[:, None, :] \
+            & (c_iota2 == c[None, :])[None, :, :]
 
     m0 = cell_mask(r0, c0)
     m1 = cell_mask(r1, c1)
@@ -169,27 +172,30 @@ def _roll_back(x, amount, axis):
     return pltpu.roll(x, n - amount % n, axis)
 
 
-def _obs_view_block(combined, ar, ac, obs_view, exit_r, exit_c, exit_v):
+def _obs_view_block(combined, ar, ac, obs_view, exit_r, exit_c, exit_v,
+                    vals=None):
     """Packed agent-centered view of one block, all in VMEM.
 
     The per-lane recentering is the same barrel roll as ops/obs.py
     (log2 conditional rolls selected per lane); views larger than the
     board tile it by concatenation; exits are projected onto the view
-    perimeter with masked reductions.
+    perimeter.  ``vals`` (per-lane exit cell values, synthesized from
+    scalars for static-goal banks) skips the per-exit masked board reads;
+    when None they are read from ``combined`` with masked reductions.
     """
     h, w, lanes = combined.shape
     vh, vw = obs_view
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 0)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w, lanes), 1)
 
-    # Exit values read before recentering (the source positions are in
-    # board coordinates).
-    k_exits = len(exit_r)
-    vals = []
-    for i in range(k_exits):
-        src = (r_iota == exit_r[i][None, None, :]) & \
-            (c_iota == exit_c[i][None, None, :])
-        vals.append(jnp.sum(jnp.where(src, combined, 0), axis=(0, 1)))
+    if vals is None:
+        # Exit values read before recentering (the source positions are
+        # in board coordinates).
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (h, lanes), 0)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
+        vals = []
+        for i in range(len(exit_r)):
+            src = (r_iota == exit_r[i][None, :])[:, None, :] & \
+                (c_iota == exit_c[i][None, :])[None, :, :]
+            vals.append(jnp.sum(jnp.where(src, combined, 0), axis=(0, 1)))
 
     rs = (ar - vh // 2) % h
     cs = (ac - vw // 2) % w
@@ -197,25 +203,28 @@ def _obs_view_block(combined, ar, ac, obs_view, exit_r, exit_c, exit_v):
     for k in range((h - 1).bit_length()):
         bit = ((rs >> k) & 1)[None, None, :] != 0
         x = jnp.where(bit, _roll_back(x, 1 << k, 0), x)
+    if vh > h:
+        x = jnp.concatenate([x] * (-(-vh // h)), axis=0)
+    # Slice rows before the column rolls: they act per-row, so the
+    # remaining rolls touch vh/h of the data.
+    x = x[:vh]
     for k in range((w - 1).bit_length()):
         bit = ((cs >> k) & 1)[None, None, :] != 0
         x = jnp.where(bit, _roll_back(x, 1 << k, 1), x)
-    if vh > h:
-        x = jnp.concatenate([x] * (-(-vh // h)), axis=0)
     if vw > w:
         x = jnp.concatenate([x] * (-(-vw // w)), axis=1)
-    view = x[:vh, :vw, :]
+    view = x[:, :vw, :]
 
-    vr_iota = jax.lax.broadcasted_iota(jnp.int32, (vh, vw, lanes), 0)
-    vc_iota = jax.lax.broadcasted_iota(jnp.int32, (vh, vw, lanes), 1)
-    for i in range(k_exits):  # row-major order: last exit wins
+    vr_iota = jax.lax.broadcasted_iota(jnp.int32, (vh, lanes), 0)
+    vc_iota = jax.lax.broadcasted_iota(jnp.int32, (vw, lanes), 0)
+    for i in range(len(exit_r)):  # row-major order: last exit wins
         jy = (exit_r[i] - ar + h // 2) % h - h // 2
         jx = (exit_c[i] - ac + w // 2) % w - w // 2
         jy = jnp.clip(jy + vh // 2, 0, vh - 1)
         jx = jnp.clip(jx + vw // 2, 0, vw - 1)
-        mask = (vr_iota == jy[None, None, :]) & \
-            (vc_iota == jx[None, None, :]) & \
-            (exit_v[i] != 0)[None, None, :]
+        valid = exit_v[i] != 0
+        mask = (vr_iota == jy[None, :])[:, None, :] \
+            & ((vc_iota == jx[None, :]) & valid[None, :])[None, :, :]
         view = jnp.where(mask, vals[i][None, None, :], view)
     return view
 
@@ -354,16 +363,32 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
             # Post-reset state for the observation: the kernel's output
             # boards plus reset-selected agent position and exit tables
             # (obs_i rows: fresh_ar, fresh_ac, then exit r/c/v for the
-            # live state and the fresh levels).
+            # live state and the fresh levels, then live/fresh exit goal
+            # colors and the fresh reset-time exit gate).
             k = num_exits
             ar = jnp.where(done, obs_i_ref[0, :], act_ref[0, :])
             ac = jnp.where(done, obs_i_ref[1, :], act_ref[1, :])
-            rows = lambda base: [  # noqa: E731
-                jnp.where(done, obs_i_ref[base + 3 * k + i, :],
+            rows = lambda base, stride=3: [  # noqa: E731
+                jnp.where(done, obs_i_ref[base + stride * k + i, :],
                           obs_i_ref[base + i, :]) for i in range(k)]
             exit_r = rows(2)
             exit_c = rows(2 + k)
             exit_v = rows(2 + 2 * k)
+            vals = None
+            if static_goals:
+                # Exit cells are frozen LEVEL_EXIT(+red iff the gate is
+                # open) after recoloring, and the goal color under them
+                # never changes — so the projected exit pixels are pure
+                # per-lane scalars; no masked board reads needed.
+                gate = jnp.where(done, obs_i_ref[2 + 8 * k, :],
+                                 ce1.astype(jnp.int32))
+                red = gate * jnp.int32(C.COLOR_R)
+                vals = []
+                for gc_i in rows(2 + 6 * k, stride=1):
+                    if remove_white_goals:
+                        gc_i = jnp.where(gc_i == 7, 0, gc_i)
+                    vals.append(jnp.int32(C.LEVEL_EXIT) | red
+                                | (gc_i << (C.COLOR_BIT + 3)))
             final_b = jnp.where(m, fb_ref[:].astype(jnp.int32), board)
             final_g = jnp.where(m, fg_ref[:].astype(jnp.int32), goals)
             gcol = final_g & C.COLORS
@@ -371,7 +396,7 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
                 gcol = jnp.where(gcol == C.COLORS, 0, gcol)
             combined = final_b + (gcol << 3)
             view = _obs_view_block(combined, ar, ac, obs_view,
-                                   exit_r, exit_c, exit_v)
+                                   exit_r, exit_c, exit_v, vals)
             out_obs_ref[:] = view.astype(jnp.uint16)
     else:
         out_board_ref[:] = board.astype(jnp.uint16)
@@ -397,6 +422,7 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
                fresh=None, time_limit=0, spawnless=False,
                simple_goals=False, obs_view=None,
                exit_row=None, exit_col=None, exit_valid=None,
+               exit_gcol=None,
                remove_white_goals=True, perf_possible=None):
     """Run the fused env-step core.  All per-env args are (B,) with
     B % 128 == 0; boards are (H, W, B) uint16.
@@ -471,6 +497,9 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
     obs_in, obs_in_specs, obs_out_specs, obs_out_shape = [], [], [], []
     if emit_obs:
         k = num_exits
+        mp = jnp.asarray(fresh["min_performance"], jnp.float32)
+        fresh_ce0 = (mp < 0) | (
+            0 >= mp * jnp.asarray(fresh["perf_possible"], jnp.float32))
         obs_i = jnp.concatenate([
             jnp.stack([jnp.asarray(fresh["agent_row"], jnp.int32),
                        jnp.asarray(fresh["agent_col"], jnp.int32)]),
@@ -478,9 +507,12 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
             exit_valid.astype(jnp.int32),
             fresh["exit_row"].astype(jnp.int32),
             fresh["exit_col"].astype(jnp.int32),
-            fresh["exit_valid"].astype(jnp.int32)])
+            fresh["exit_valid"].astype(jnp.int32),
+            exit_gcol.astype(jnp.int32),
+            fresh["exit_gcol"].astype(jnp.int32),
+            fresh_ce0.astype(jnp.int32)[None, :]])
         obs_in = [obs_i]
-        obs_in_specs = [lane_spec(2 + 6 * k)]
+        obs_in_specs = [lane_spec(2 + 8 * k + 1)]
         vh, vw = obs_view
         obs_out_specs = [pl.BlockSpec((vh, vw, block), lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM)]

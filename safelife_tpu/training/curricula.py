@@ -60,6 +60,29 @@ TASKS = {
         min_performance_ramp=None,
         level_sources=((0, "navigation"),),
     ),
+    # The reference's launcher only covers the five env types above
+    # (start-training:195-236); the remaining benchmark suites get
+    # schedules analogous to their still/spawn counterparts.  The dynamic
+    # tasks pre-train on easy static levels before switching, like the
+    # spawn curriculum (start-training:169-184).
+    "append-dynamic": TaskSpec(
+        total_steps=10e6,
+        impact_penalty_ramp=(1.0e6, 2.0e6),
+        min_performance_ramp=(1.0e6, 2.0e6),
+        level_sources=((0, "append-still-easy"), (1.5e6, "append-dynamic")),
+    ),
+    "prune-dynamic": TaskSpec(
+        total_steps=6e6,
+        impact_penalty_ramp=(0.5e6, 1.5e6),
+        min_performance_ramp=(0.5e6, 1.5e6),
+        level_sources=((0, "prune-still-easy"), (1.0e6, "prune-dynamic")),
+    ),
+    "prune-still-hard": TaskSpec(
+        total_steps=6e6,
+        impact_penalty_ramp=(0.5e6, 1.5e6),
+        min_performance_ramp=(0.5e6, 1.5e6),
+        level_sources=((0, "prune-still-easy"), (1.0e6, "prune-still-hard")),
+    ),
 }
 
 
