@@ -194,15 +194,29 @@ def main():
           f"steps={STEPS} global_steps={int(state.num_steps)}",
           file=sys.stderr)
 
-    # Worst-case variant: spawners on the board AND a goal board that is
-    # not a CA fixed point, so the fused kernel advances both boards
-    # (static_goals=False) with live spawn sampling.
-    dyn_bank = synth.synth_bank(64, h=26, w=26, spawners=True,
-                                dynamic_goals=True)
-    assert not dyn_bank.static_goals
-    dyn_steps_per_s, _ = time_env(dyn_bank, BATCH, STEPS)
-    print(f"# dynamic_goals_env_steps_per_sec={round(dyn_steps_per_s)} "
-          f"({dyn_steps_per_s / BASELINE_STEPS_PER_S:.4f}x baseline)",
+    # Dynamic-goals variant: the real append-dynamic benchmark suite —
+    # the goal board is not a CA fixed point, so the fused kernel
+    # advances both boards every step (the *-dynamic training regime).
+    try:
+        dyn_bank = loader.load_bank("benchmarks/v1.0/append-dynamic.npz")
+        assert not dyn_bank.static_goals
+        dyn_steps_per_s, _ = time_env(dyn_bank, BATCH, STEPS)
+        print(f"# dynamic_goals_env_steps_per_sec={round(dyn_steps_per_s)} "
+              f"({dyn_steps_per_s / BASELINE_STEPS_PER_S:.4f}x baseline) "
+              f"[append-dynamic suite]", file=sys.stderr)
+    except Exception as e:
+        print(f"# dynamic suite unavailable: {e}", file=sys.stderr)
+
+    # Synthetic stress case beyond any real suite: spawners on BOTH the
+    # board and the goal board (no shipped suite puts spawners in goals),
+    # so both CA advances run the full rule with live PRNG sampling.
+    stress_bank = synth.synth_bank(64, h=26, w=26, spawners=True,
+                                   dynamic_goals=True)
+    assert not stress_bank.static_goals and not stress_bank.simple_goals
+    stress_steps_per_s, _ = time_env(stress_bank, BATCH, STEPS)
+    print(f"# stress_goalspawner_env_steps_per_sec="
+          f"{round(stress_steps_per_s)} "
+          f"({stress_steps_per_s / BASELINE_STEPS_PER_S:.4f}x baseline)",
           file=sys.stderr)
 
 

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-3 training sweep: the three never-trained suites at 3 seeds each,
+# plus two extra seeds for the tasks that only had one.
+# Budgets follow training/curricula.py (reference start-training analogs).
+set -x
+cd /root/repo
+mkdir -p /root/runs
+
+run() {  # run TASK SEED STEPS
+  local task=$1 seed=$2 steps=$3
+  local dir=/root/runs/$task-s$seed
+  if [ -f "$dir.done" ]; then echo "skip $dir"; return; fi
+  python -m safelife_tpu train "$dir" --task "$task" \
+    --num-envs 64 --steps "$steps" --seed "$seed" \
+    >> "$dir.log" 2>&1 && touch "$dir.done"
+}
+
+# Never-trained suites, 3 seeds.
+for seed in 0 1 2; do run append-dynamic   $seed 10e6; done
+for seed in 0 1 2; do run prune-dynamic    $seed 6e6;  done
+for seed in 0 1 2; do run prune-still-hard $seed 6e6;  done
+# Previously single-seed tasks: add seeds 1, 2.
+for seed in 1 2; do run append-spawn $seed 10e6; done
+for seed in 1 2; do run prune-spawn  $seed 6e6;  done
+for seed in 1 2; do run navigation   $seed 6e6;  done
+echo SWEEP_R3_DONE
