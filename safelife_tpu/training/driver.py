@@ -60,6 +60,16 @@ class TrainerConfig:
     fresh_levels_every: int = 0
 
 
+def _fetch(tree):
+    """device_get that also works under a multi-process runtime, where
+    batch-sharded arrays span non-addressable devices: all-gather them
+    first (every rank then logs identical global stats)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        tree = multihost_utils.process_allgather(tree, tiled=True)
+    return jax.device_get(tree)
+
+
 def make_training_env(cfg: TrainerConfig):
     """The reference's training wrapper stack (safelife_ppo.py:111-139):
     base env (33x33 view) -> MovementBonus -> SideEffectPenalty ->
@@ -238,8 +248,8 @@ class Trainer:
             step = self.global_step()
 
             if step >= next_report:
-                metrics = jax.device_get(metrics)
-                eps = jax.device_get(pending_eps)
+                metrics = _fetch(metrics)
+                eps = _fetch(pending_eps)
                 pending_eps = []
                 eps = {k2: np.concatenate([e[k2] for e in eps])
                        for k2 in eps[0]}
