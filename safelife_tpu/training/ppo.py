@@ -507,28 +507,73 @@ class RecurrentPPO(PPO):
                                           traj.value)
         batch = traj.action.shape[1]
         n_mb = cfg.num_minibatches
-        assert batch % n_mb == 0
+        n_sh = cfg.data_shards
+        assert batch % n_sh == 0, "batch must divide data_shards"
+        local = batch // n_sh
+        assert local % n_mb == 0, \
+            "per-shard batch must divide num_minibatches"
+        mb_local = local // n_mb
+
+        # Shard-local minibatching, like the non-recurrent path
+        # (train_batch above): each data shard permutes and minibatches
+        # ITS OWN envs, so under GSPMD the epoch loop never gathers
+        # trajectory data across devices — the only collective left is
+        # the gradient all-reduce (gated by tests/test_scaling.py).
+        # Minibatches still consist of whole envs (sequences stay intact,
+        # the reference's scheme at ppo.py:510-533).
+        split_t = lambda x: x.reshape(  # noqa: E731
+            (x.shape[0], n_sh, local) + x.shape[2:])
+        data = jax.tree.map(split_t, (traj.obs, traj.done, traj.action,
+                                      traj.old_pi, traj.value[:-1],
+                                      returns, advantages))
+        carry_s = jax.tree.map(
+            lambda x: x.reshape((n_sh, local) + x.shape[1:]), carry0)
 
         def one_epoch(c, key_e):
             params, opt_state = c
-            perm = jax.random.permutation(key_e, batch).reshape(n_mb, -1)
+            perm = jax.vmap(lambda k: jax.random.permutation(k, local))(
+                jax.random.split(key_e, n_sh))  # (S, local)
 
-            def one_minibatch(c, idx):
+            def shuffle_t(x):
+                idx = perm.reshape((1, n_sh, local) + (1,) * (x.ndim - 3))
+                return jnp.take_along_axis(x, idx, axis=2)
+
+            def shuffle_c(x):
+                idx = perm.reshape((n_sh, local) + (1,) * (x.ndim - 2))
+                return jnp.take_along_axis(x, idx, axis=1)
+
+            shuffled = jax.tree.map(shuffle_t, data)
+            sh_carry = jax.tree.map(shuffle_c, carry_s)
+
+            def one_minibatch(c, k):
                 params, opt_state = c
-                mb = lambda x: jnp.take(x, idx, axis=1)
+                # Slice locally, then merge (S, mb) with the sharded axis
+                # OUTERMOST in the merged dim so GSPMD keeps the batch
+                # sharded through the recurrent forward/backward.
+                mb = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, k * mb_local, mb_local, axis=2).reshape(
+                        (x.shape[0], n_sh * mb_local) + x.shape[3:]),
+                    shuffled)
                 mb_carry = jax.tree.map(
-                    lambda x: jnp.take(x, idx, axis=0), carry0)
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, k * mb_local, mb_local, axis=1).reshape(
+                        (n_sh * mb_local,) + x.shape[2:]),
+                    sh_carry)
+                (mb_obs, mb_done, mb_action, mb_old_pi, mb_value,
+                 mb_returns, mb_adv) = mb
                 (loss, metrics), grads = jax.value_and_grad(
                     ppo_loss_recurrent, argnums=2, has_aux=True)(
                         cfg, self.net, params,
-                        mb(traj.obs), mb(traj.done), mb_carry,
-                        mb(traj.action), mb(traj.old_pi),
-                        mb(traj.value[:-1]), mb(returns), mb(advantages))
+                        mb_obs, mb_done, mb_carry,
+                        mb_action, mb_old_pi,
+                        mb_value, mb_returns, mb_adv)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics
 
-            return jax.lax.scan(one_minibatch, (params, opt_state), perm)
+            return jax.lax.scan(one_minibatch, (params, opt_state),
+                                jnp.arange(n_mb))
 
         keys = jax.random.split(k_perm, cfg.epochs_per_batch)
         (params, opt_state), metrics = jax.lax.scan(

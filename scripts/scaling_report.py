@@ -77,6 +77,50 @@ def build(n_devices, envs_per_device=32):
     return compiled, n_params
 
 
+def build_recurrent(n_devices, envs_per_device=32):
+    """Compile RecurrentPPO.train_batch over an n-device mesh (the LSTM
+    path must stay collective-free except the gradient all-reduce, like
+    the non-recurrent path — gated by tests/test_scaling.py)."""
+    from safelife_tpu.env.env import BatchedSafeLifeEnv, EnvConfig
+    from safelife_tpu.levels import synth
+    from safelife_tpu.parallel import mesh as pmesh
+    from safelife_tpu.training.model import SafeLifeLSTMNet
+    from safelife_tpu.training.ppo import (PPOConfig, RecurrentPPO,
+                                           TrainState)
+
+    devices = jax.devices()[:n_devices]
+    mesh = pmesh.make_mesh(n_data=n_devices, devices=devices)
+    batch = envs_per_device * n_devices
+    env = BatchedSafeLifeEnv(EnvConfig(view_shape=(25, 25), time_limit=200))
+    bank = synth.synth_bank(8, h=26, w=26, spawners=True)
+    cfg = PPOConfig(data_shards=n_devices)
+    net = SafeLifeLSTMNet(num_actions=9, n_gamma=cfg.n_gamma)
+
+    key = jax.random.PRNGKey(0)
+    k_init, k_reset, k_train = jax.random.split(key, 3)
+    state = env.reset_all(bank, batch, k_reset)
+    obs = env.observe(state)
+    carry = SafeLifeLSTMNet.initial_carry(batch)
+    import jax.numpy as jnp
+    import optax  # noqa: F401
+    params = {"net": net.init(k_init, obs, carry), "spe": jnp.float32(1.0)}
+    ppo = RecurrentPPO(cfg, net, env)
+    train_state = TrainState(params=params, opt_state=ppo.tx.init(params),
+                             update_step=jnp.int32(0))
+
+    with mesh:
+        state, bank = pmesh.shard_env(mesh, state, bank)
+        obs = pmesh.shard_batch_leading(mesh, obs)
+        carry = pmesh.shard_batch_leading(mesh, carry)
+        train_state = pmesh.replicate(mesh, train_state)
+        k_train = pmesh.replicate(mesh, k_train)
+        lowered = ppo.train_batch.lower(
+            ppo, train_state, state, obs, carry, bank, k_train)
+        compiled = lowered.compile()
+    n_params = sum(x.size for x in jax.tree.leaves(train_state.params))
+    return compiled, n_params
+
+
 ENVS_PER_DEVICE = 32        # compile size (small: 1-core CI box)
 PROD_ENVS_PER_DEVICE = 2048  # production envs/device for the efficiency gate
 

@@ -58,6 +58,27 @@ def test_only_gradients_cross_devices(profiles):
         f"unexpected non-gradient collectives: {coll}")
 
 
+def test_recurrent_only_gradients_cross_devices():
+    """RecurrentPPO.train_batch is collective-free except the gradient
+    all-reduce: the shard-local minibatch shuffle (whole envs per shard)
+    must not gather trajectory data across devices (VERDICT r2 #4)."""
+    import scaling_report as sr
+    from safelife_tpu.parallel.distributed import collective_stats
+
+    compiled, n_params = sr.build_recurrent(8, envs_per_device=16)
+    stats = collective_stats(compiled)
+    coll = stats["collective_bytes"]
+    param_bytes = n_params * 4
+    ar = coll.get("all-reduce", 0)
+    assert ar > 0, "no gradient all-reduce found — params not synced?"
+    assert ar <= 1.5 * param_bytes, (
+        f"all-reduce moves {ar} bytes vs {param_bytes} param bytes — "
+        "trajectory/carry data is being gathered across devices")
+    other = sum(v for k, v in coll.items() if k != "all-reduce")
+    assert other < 100_000, (
+        f"unexpected non-gradient collectives: {coll}")
+
+
 def test_ici_efficiency_model_clears_target(profiles):
     import scaling_report as sr
     from safelife_tpu.parallel.distributed import dp_efficiency_model
