@@ -126,8 +126,17 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
             core.init_board, core.board, core.spawn_prob,
             core.episode_length, key, num_samples=side_effect_samples,
             catch_up_steps=time_limit)
-        results["side_effects"] = np.asarray(scores).sum(axis=0)
-        results["side_effect_mass"] = np.asarray(mass).sum(axis=0)
+        sc, ms = np.asarray(scores), np.asarray(mass)
+        results["side_effects"] = sc.sum(axis=0)
+        results["side_effect_mass"] = ms.sum(axis=0)
+        # Per-cell-type structure, the form the reference reports and the
+        # safety analysis consumes (reference side_effects.py:152-161):
+        # canonical type name -> ((B,) emd, (B,) inaction mass).
+        from .render.text import cell_name
+        from .side_effects import DEFAULT_TRACKED
+        results["side_effects_by_type"] = {
+            cell_name(k): (sc[j], ms[j])
+            for j, k in enumerate(DEFAULT_TRACKED)}
 
     if logfile:
         os.makedirs(os.path.dirname(os.path.abspath(logfile)), exist_ok=True)
@@ -145,6 +154,15 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
                     entry["side_effects"] = round(
                         float(results["side_effects"][i]), 3)
                 items = ", ".join(f"{k}: {v}" for k, v in entry.items())
+                if "side_effects_by_type" in results:
+                    # (emd, inaction-mass) pairs per canonical cell type
+                    # present on this level, reference YAML form.
+                    per = ", ".join(
+                        f"{name}: [{float(s[i]):.3f}, {float(m[i]):.3f}]"
+                        for name, (s, m)
+                        in results["side_effects_by_type"].items()
+                        if m[i] > 0 or s[i] > 0)
+                    items += f", side_effects_by_type: {{{per}}}"
                 fh.write(f"- {{{items}}}\n")
     return results
 

@@ -130,3 +130,49 @@ def test_destroyed_pattern_scores_nonzero():
     # No other cell type shows effects.
     s[k, 0] = 0
     np.testing.assert_allclose(s, 0.0, atol=1e-3)
+
+
+def test_sinkhorn_matches_exact_on_episode_end_states():
+    """Device Sinkhorn vs exact LP on REAL episode end states: run random
+    policies over benchmark levels, then score the SAME action/inaction
+    occupancy distributions both ways (VERDICT r2 #7 — the synthetic-board
+    agreement test above doesn't cover the distributions real episodes
+    produce)."""
+    from safelife_tpu.env.env import BatchedSafeLifeEnv, EnvConfig
+    from safelife_tpu.levels import loader
+
+    bank = loader.load_bank("benchmarks/v1.0/append-still.npz")
+    b = 8
+    env = BatchedSafeLifeEnv(EnvConfig(compute_obs=False, auto_reset=False,
+                                       use_pallas=False))
+    state = env.reset_to_levels(bank, jnp.arange(b))
+    key = jax.random.PRNGKey(3)
+    for _ in range(40):
+        key, ka, ke = jax.random.split(key, 3)
+        action = jax.random.randint(ka, (b,), 0, 9)
+        state, _ = env.step(state, bank, action, ke)
+
+    act, inact = se.accumulate_distributions(
+        state.init_board, state.board, state.spawn_prob,
+        state.episode_length, num_samples=64, key=jax.random.PRNGKey(7),
+        catch_up_steps=40)
+    h, w, _ = np.asarray(state.board).shape
+    cost = jnp.asarray(se.torus_distances((h, w)), jnp.float32)
+    act_n, inact_n = np.asarray(act), np.asarray(inact)
+
+    checked = 0
+    for k in range(act_n.shape[0]):
+        for i in range(b):
+            a2, b2 = inact_n[k, :, :, i], act_n[k, :, :, i]
+            if a2.sum() == 0 and b2.sum() == 0:
+                continue
+            if np.array_equal(a2, b2):
+                continue
+            exact = se.earth_mover_distance(a2, b2)
+            approx = float(se.sinkhorn_emd(
+                jnp.asarray(a2.reshape(1, -1)),
+                jnp.asarray(b2.reshape(1, -1)), cost)[0])
+            assert approx == pytest.approx(exact, rel=0.05, abs=0.05), \
+                f"type {k} board {i}: sinkhorn {approx} vs exact {exact}"
+            checked += 1
+    assert checked >= 3, f"only {checked} nontrivial (type, board) pairs"

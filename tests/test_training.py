@@ -172,9 +172,20 @@ def test_endless_levels_eval_and_side_effect_logging(tmp_path):
     # Per-episode side-effect counts in the training records.
     txt = open(os.path.join(str(tmp_path), "training.yaml")).read()
     assert "side_effects:" in txt
-    # Frozen-suite eval wrote its YAML log.
+    # Frozen-suite eval wrote its YAML log, with the per-cell-type
+    # (emd, inaction-mass) breakdown the reference reports
+    # (side_effects.py:152-161).
     eval_log = os.path.join(str(tmp_path), "eval.yaml")
-    assert os.path.exists(eval_log) and "performance" in open(eval_log).read()
+    etxt = open(eval_log).read()
+    assert "performance" in etxt
+    assert "side_effects_by_type: {" in etxt
+    import yaml
+    records = yaml.safe_load(etxt)
+    per = [r["side_effects_by_type"] for r in records
+           if r.get("side_effects_by_type")]
+    assert per and all(
+        isinstance(v, list) and len(v) == 2
+        for r in per for v in r.values())
 
 
 def test_recurrent_ppo_smoke():
