@@ -180,9 +180,12 @@ class BatchedSafeLifeEnv:
         sampling the *next* level for every env once per rollout and
         passing it to :meth:`step` as ``fresh_levels`` amortizes it over
         the rollout length.  An env that resets twice within one rollout
-        replays the same (randomly chosen) level — statistically harmless
-        for training; leave ``fresh_levels=None`` for exact per-step
-        resampling.
+        replays the same (randomly chosen) level.  Measured duplicate-
+        replay rates (tests/test_reset_aliasing.py): < 2% of resets at
+        episode length >= 5x the rollout (the training regime — reference
+        time_limit=1000 vs T=20; trained episodes run 100-1000 steps),
+        but large when episodes are shorter than the rollout — pass
+        ``fresh_levels=None`` there for exact per-step resampling.
         """
         idx = jax.random.randint(key, (batch_size,), 0, bank.num_levels)
         return idx, self._fresh_state_fields(bank, idx)
