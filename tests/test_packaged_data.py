@@ -64,3 +64,67 @@ def test_puzzles_ship_and_load():
     for f in files:
         g = SafeLifeGame.load(f)
         assert (g.board & C.AGENT).any() and (g.board & C.EXIT).any()
+
+
+# ---------------------------------------------------------------------------
+# Hand-authored teaching sets (mazes / patterns / examples / puzzles 09-18).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("category,count", [
+    ("mazes", 11), ("patterns", 4), ("examples", 16), ("puzzles", 18)])
+def test_teaching_sets_ship_load_and_run(category, count):
+    files = glob.glob(os.path.join(DATA, category, "*.npz"))
+    assert len(files) >= count, f"{category}: {len(files)} < {count}"
+    levels = loader.load_levels(os.path.join(DATA, category))
+    groups = loader.group_by_shape(levels)
+    for shape, lvls in groups.items():
+        bank = loader.build_bank(lvls)
+        n = bank.num_levels
+        env = BatchedSafeLifeEnv(EnvConfig(view_shape=(15, 15),
+                                           time_limit=30))
+        state = env.reset_to_levels(bank, jnp.arange(n))
+        key = jax.random.PRNGKey(0)
+        for _ in range(3):
+            key, ka, ke = jax.random.split(key, 3)
+            state, ts = env.step(
+                state, bank, jax.random.randint(ka, (n,), 0, 9), ke)
+        assert np.isfinite(np.asarray(ts.reward)).all()
+
+
+def test_maze_oscillators_oscillate():
+    """The mazes' resident patterns are genuine period-2 oscillators:
+    two CA steps return the initial board (with the agent untouched)."""
+    from safelife_tpu.ops import life_numpy
+
+    files = sorted(glob.glob(os.path.join(DATA, "mazes", "*.npz")))
+    oscillating = 0
+    for f in files:
+        lv = loader.load_levels(f)[0]
+        b0 = lv["board"] & ~np.uint16(C.AGENT)
+        b1 = life_numpy.advance_board_reference(
+            b0, 0.0, rand_field=np.ones(b0.shape))
+        b2 = life_numpy.advance_board_reference(
+            b1, 0.0, rand_field=np.ones(b0.shape))
+        np.testing.assert_array_equal(
+            b2, b0, err_msg=f"{os.path.basename(f)} not period<=2")
+        if not np.array_equal(b1, b0):
+            oscillating += 1
+    assert oscillating >= 6, f"only {oscillating} mazes have live oscillators"
+
+
+def test_examples_cover_every_cell_type():
+    """The example set exercises the full cell-type vocabulary."""
+    levels = loader.load_levels(os.path.join(DATA, "examples"))
+    seen = np.uint16(0)
+    cells = set()
+    for lv in levels:
+        seen |= np.bitwise_or.reduce(lv["board"].ravel())
+        cells.update(np.unique(lv["board"] & ~np.uint16(C.COLORS)).tolist())
+    for bit in (C.ALIVE, C.AGENT, C.PUSHABLE, C.PULLABLE, C.DESTRUCTIBLE,
+                C.FROZEN, C.PRESERVING, C.INHIBITING, C.SPAWNING, C.EXIT,
+                C.COLOR_R, C.COLOR_G, C.COLOR_B):
+        assert seen & bit, f"no example exercises bit {bit:#x}"
+    for t in (C.LIFE, C.HARD_LIFE, C.TREE, C.SPAWNER, C.WALL, C.CRATE,
+              C.WEED, C.FOUNTAIN, C.PARASITE, C.PLANT, C.ICE_CUBE,
+              C.LEVEL_EXIT):
+        assert t in cells, f"no example contains cell type {t:#x}"
