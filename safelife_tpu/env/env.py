@@ -48,6 +48,10 @@ class EnvConfig:
     can_toggle_colors: bool = False
     compute_obs: bool = True
     use_pallas: bool = True  # fused CA kernel on TPU (fast path only)
+    # Emit the packed obs view batch-leading straight from the kernel's
+    # VMEM residency (in-kernel transpose) instead of transposing the
+    # (vh, vw, B) view in HBM afterwards.
+    obs_transposed: bool = False
     # Force the fused Pallas path in interpret mode (TPU emulation on any
     # backend) — CI uses this to test the kernels bit-for-bit on CPU.
     pallas_interpret: bool = False
@@ -261,7 +265,8 @@ class BatchedSafeLifeEnv:
                 obs_view=cfg.view_shape if kernel_obs else None,
                 exit_row=state.exit_row, exit_col=state.exit_col,
                 exit_valid=state.exit_valid, exit_gcol=state.exit_gcol,
-                remove_white_goals=cfg.remove_white_goals)
+                remove_white_goals=cfg.remove_white_goals,
+                obs_transposed=cfg.obs_transposed)
             (board, goals, agent_row, agent_col, orientation, exited,
              points, comp1, poss1, ce1, effect_count) = out[:11]
             if cfg.auto_reset:
@@ -349,9 +354,15 @@ class BatchedSafeLifeEnv:
             )
 
         if packed_view is not None:
-            obs = obs_ops.unpack_channels(packed_view, cfg.output_channels) \
-                if cfg.output_channels is not None \
-                else jnp.transpose(packed_view, (2, 0, 1))
+            if cfg.obs_transposed:  # already (B, vh, vw)
+                obs = packed_view if cfg.output_channels is None else \
+                    obs_ops.unpack_channels_leading(
+                        packed_view, cfg.output_channels)
+            elif cfg.output_channels is not None:
+                obs = obs_ops.unpack_channels(
+                    packed_view, cfg.output_channels)
+            else:
+                obs = jnp.transpose(packed_view, (2, 0, 1))
         elif cfg.compute_obs:
             obs = self.observe(new_state)
         else:

@@ -231,7 +231,8 @@ def _obs_view_block(combined, ar, ac, obs_view, exit_r, exit_c, exit_v,
 
 def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
                     time_limit=0, spawnless=False, simple_goals=False,
-                    obs_view=None, num_exits=0, remove_white_goals=True):
+                    obs_view=None, num_exits=0, remove_white_goals=True,
+                    obs_transposed=False):
     """CA advance + scoring + exit recolor, optionally folding the
     auto-reset select into the same write pass (``time_limit > 0``): the
     episode's done flag is computable in-kernel (times_up | game_over |
@@ -397,7 +398,14 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
             combined = final_b + (gcol << 3)
             view = _obs_view_block(combined, ar, ac, obs_view,
                                    exit_r, exit_c, exit_v, vals)
-            out_obs_ref[:] = view.astype(jnp.uint16)
+            if obs_transposed:
+                # Emit batch-leading from VMEM: the consumer-side
+                # (vh, vw, B) -> (B, vh, vw) HBM transpose disappears.
+                vh, vw = obs_view
+                vt = view.astype(jnp.uint16).reshape(vh * vw, lanes).T
+                out_obs_ref[:] = vt.reshape(lanes, vh, vw)
+            else:
+                out_obs_ref[:] = view.astype(jnp.uint16)
     else:
         out_board_ref[:] = board.astype(jnp.uint16)
         if static_goals:
@@ -414,7 +422,8 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
 @partial(jax.jit, static_argnames=("interpret", "static_goals",
                                    "time_limit", "spawnless",
                                    "simple_goals", "obs_view",
-                                   "remove_white_goals"))
+                                   "remove_white_goals",
+                                   "obs_transposed"))
 def fused_step(board, goals, init_board, action, agent_row, agent_col,
                orientation, game_over, can_exit0, baseline_score,
                spawn_prob, min_performance, seed, interpret=False,
@@ -423,7 +432,8 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
                simple_goals=False, obs_view=None,
                exit_row=None, exit_col=None, exit_valid=None,
                exit_gcol=None,
-               remove_white_goals=True, perf_possible=None):
+               remove_white_goals=True, perf_possible=None,
+               obs_transposed=False):
     """Run the fused env-step core.  All per-env args are (B,) with
     B % 128 == 0; boards are (H, W, B) uint16.
 
@@ -488,7 +498,8 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
                    simple_goals=simple_goals,
                    obs_view=obs_view if emit_obs else None,
                    num_exits=num_exits,
-                   remove_white_goals=remove_white_goals)
+                   remove_white_goals=remove_white_goals,
+                   obs_transposed=obs_transposed)
     common = [pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
               lane_spec(9), lane_spec(2)]
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -514,9 +525,16 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
         obs_in = [obs_i]
         obs_in_specs = [lane_spec(2 + 8 * k + 1)]
         vh, vw = obs_view
-        obs_out_specs = [pl.BlockSpec((vh, vw, block), lambda i: (0, 0, i),
-                                      memory_space=pltpu.VMEM)]
-        obs_out_shape = [jax.ShapeDtypeStruct((vh, vw, b), jnp.uint16)]
+        if obs_transposed:
+            obs_out_specs = [pl.BlockSpec((block, vh, vw),
+                                          lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM)]
+            obs_out_shape = [jax.ShapeDtypeStruct((b, vh, vw), jnp.uint16)]
+        else:
+            obs_out_specs = [pl.BlockSpec((vh, vw, block),
+                                          lambda i: (0, 0, i),
+                                          memory_space=pltpu.VMEM)]
+            obs_out_shape = [jax.ShapeDtypeStruct((vh, vw, b), jnp.uint16)]
 
     if time_limit > 0 and static_goals:
         # goals == init_goals throughout for static-goal banks; drop the

@@ -378,3 +378,20 @@ def test_env_step_fused_equals_xla(suite, view):
         for k in a:
             np.testing.assert_array_equal(
                 a[k], b[k], err_msg=f"step {t}, field {k}")
+
+
+def test_env_step_obs_transposed_path():
+    """obs_transposed=True (in-kernel batch-leading obs emission) must
+    produce identical observations to the default path."""
+    bank = loader.load_bank("benchmarks/v1.0/append-still.npz")
+    actions = np.random.RandomState(4).randint(0, 9, (8, B))
+    cfg = dict(time_limit=6, auto_reset=True, view_shape=(15, 15),
+               pallas_interpret=True)
+    base = _rollout(BatchedSafeLifeEnv(EnvConfig(**cfg)), bank, actions)
+    trans = _rollout(
+        BatchedSafeLifeEnv(EnvConfig(obs_transposed=True, **cfg)),
+        bank, actions)
+    for t, (a, b) in enumerate(zip(base, trans)):
+        for k in a:
+            np.testing.assert_array_equal(
+                a[k], b[k], err_msg=f"step {t}, field {k}")
