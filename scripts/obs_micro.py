@@ -1,0 +1,166 @@
+"""Micro-experiments for the obs path (run on TPU when the chip is free):
+
+a) barrel roll (per-lane recentering) on int32 vs uint16 blocks — u16
+   packs 2 elements per VPU lane IF Mosaic legalizes the rolls/selects;
+b) in-kernel (vh*vw, L) transpose cost (the obs_transposed flag);
+c) end-to-end step with obs_transposed on vs off.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from safelife_tpu.env.env import BatchedSafeLifeEnv, EnvConfig
+from safelife_tpu.levels import loader, synth
+
+B = 16384
+STEPS = 64
+H = W = 26
+VH = VW = 15
+LANES = 128
+
+
+def timeit(name, fn, *args):
+    try:
+        out = jax.block_until_ready(fn(*args))
+    except Exception as e:
+        print(f"{name:42s} FAILED: {str(e)[:100]}")
+        return None
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:42s} {best/STEPS*1e6:9.1f} us/step")
+    return out
+
+
+def _roll_back(x, amount, axis):
+    n = x.shape[axis]
+    return pltpu.roll(x, n - amount % n, axis)
+
+
+def make_roll_kernel(dtype):
+    def kernel(si_ref, x_ref, out_ref):
+        x = x_ref[:].astype(dtype)
+        rs = si_ref[0, :]
+        cs = si_ref[1, :]
+        for k in range((H - 1).bit_length()):
+            bit = ((rs >> k) & 1)[None, None, :] != 0
+            x = jnp.where(bit, _roll_back(x, 1 << k, 0), x)
+        x = x[:VH]
+        for k in range((W - 1).bit_length()):
+            bit = ((cs >> k) & 1)[None, None, :] != 0
+            x = jnp.where(bit, _roll_back(x, 1 << k, 1), x)
+        out_ref[:] = x[:, :VW].astype(jnp.uint16)
+
+    @jax.jit
+    def run(x, si):
+        spec_in = pl.BlockSpec((H, W, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)
+        spec_out = pl.BlockSpec((VH, VW, LANES), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+        lane = pl.BlockSpec((2, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+        def body(x, _):
+            v = pl.pallas_call(
+                kernel, grid=(B // LANES,),
+                in_specs=[lane, spec_in],
+                out_specs=spec_out,
+                out_shape=jax.ShapeDtypeStruct((VH, VW, B), jnp.uint16),
+            )(si, x)
+            return x + v.sum(axis=(0, 1)).astype(jnp.uint16)[None, None, :], 0
+        x, _ = jax.lax.scan(body, x, length=STEPS)
+        return x
+    return run
+
+
+def make_transpose_kernel(dtype):
+    def kernel(x_ref, out_ref):
+        x = x_ref[:].astype(dtype)
+        vt = x.reshape(VH * VW, LANES).T
+        out_ref[:] = vt.reshape(LANES, VH, VW).astype(jnp.uint16)
+
+    @jax.jit
+    def run(x):
+        spec_in = pl.BlockSpec((VH, VW, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)
+        spec_out = pl.BlockSpec((LANES, VH, VW), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def body(x, _):
+            v = pl.pallas_call(
+                kernel, grid=(B // LANES,),
+                in_specs=[spec_in],
+                out_specs=spec_out,
+                out_shape=jax.ShapeDtypeStruct((B, VH, VW), jnp.uint16),
+            )(x)
+            return x + v.sum(axis=(1, 2)).astype(jnp.uint16)[None, None, :], 0
+        x, _ = jax.lax.scan(body, x, length=STEPS)
+        return x
+    return run
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (H, W, B), 0, 2**15).astype(jnp.uint16)
+    si = jax.random.randint(key, (2, B), 0, H).astype(jnp.int32)
+    timeit("barrel roll i32", make_roll_kernel(jnp.int32), x, si)
+    timeit("barrel roll u16", make_roll_kernel(jnp.uint16), x, si)
+
+    v = jax.random.randint(key, (VH, VW, B), 0, 2**15).astype(jnp.uint16)
+    timeit("in-kernel transpose i32", make_transpose_kernel(jnp.int32), v)
+    timeit("in-kernel transpose u16", make_transpose_kernel(jnp.uint16), v)
+
+    # XLA-side transpose for comparison.
+    @jax.jit
+    def xla_transpose(v):
+        def body(v, _):
+            t = jnp.transpose(v, (2, 0, 1))
+            return v + t.sum(axis=(1, 2)).astype(jnp.uint16)[None, None, :], 0
+        v, _ = jax.lax.scan(body, v, length=STEPS)
+        return v
+    timeit("XLA transpose (15,15,B)->(B,15,15)", xla_transpose, v)
+
+    # end-to-end step with the flag
+    try:
+        bank = loader.load_bank("benchmarks/v1.0/append-still.npz")
+    except Exception:
+        bank = synth.synth_bank(64)
+    for name, cfg in [
+        ("step obs default", EnvConfig(view_shape=(15, 15))),
+        ("step obs_transposed", EnvConfig(view_shape=(15, 15),
+                                          obs_transposed=True)),
+    ]:
+        env = BatchedSafeLifeEnv(cfg)
+        key = jax.random.PRNGKey(0)
+        state = env.reset_all(bank, B, key)
+
+        @jax.jit
+        def run(state, key, env=env):
+            def outer(carry, _):
+                state, key = carry
+                key, kf = jax.random.split(key)
+                fresh = env.sample_fresh_levels(bank, B, kf)
+
+                def body(carry, _):
+                    state, key = carry
+                    key, ka, ke = jax.random.split(key, 3)
+                    a = jax.random.randint(ka, (B,), 0, 9)
+                    state, ts = env.step(state, bank, a, ke,
+                                         fresh_levels=fresh)
+                    return (state, key), \
+                        ts.obs.astype(jnp.int32).sum() + ts.reward.sum()
+                (state, key), r = jax.lax.scan(body, (state, key), length=16)
+                return (state, key), r.sum()
+            (state, key), r = jax.lax.scan(outer, (state, key),
+                                           length=STEPS // 16)
+            return state, r.sum()
+        timeit(name, run, state, key)
+
+
+if __name__ == "__main__":
+    main()
