@@ -478,12 +478,13 @@ def _partition_scaffolds(batch, h, w, min_regions=2, max_regions=3):
                 buffer=buffer_mask, pr=pr, pc=pc)
 
 
-@partial(jax.jit, static_argnames=("batch", "iters", "period"))
+@partial(jax.jit, static_argnames=("batch", "iters", "period",
+                                   "second_target"))
 def _paint_partitioned(key, board0, fence, slots, buffer_mask, batch,
                        iters=1200, period=1,
                        board_fill=0.1, goal_fill=0.05,
                        board_temp=0.5, goal_temp=0.2,
-                       movable_frac=0.3):
+                       movable_frac=0.3, second_target="goals"):
     """Device phase of :func:`gen_partitioned_levels`: per region slot,
     anneal the colored board pattern (walls/trees allowed) then the goal
     pattern on the same working board (a joint still configuration), with
@@ -550,12 +551,20 @@ def _paint_partitioned(key, board0, fence, slots, buffer_mask, batch,
             period=period, osc_bonus=0.0)
         new2 = board2 != board
         alive2 = new2 & ((board2 & C.ALIVE) != 0)
-        board2 = jnp.where(alive2, board2 | jnp.uint16(C.COLOR_B), board2)
-        # movable_walls = 1 on the goal layer: its walls are crates.
+        layer2_color = jnp.uint16(
+            C.COLOR_B if second_target == "goals" else C.COLOR_R)
+        board2 = jnp.where(alive2, board2 | layer2_color, board2)
+        # movable_walls = 1 on the second layer: its walls are crates.
         crate = new2 & ((board2 & ~jnp.uint16(C.COLORS)) == C.WALL)
         board2 = jnp.where(crate, board2 | jnp.uint16(C.MOVABLE), board2)
         bg = bg | new2
-        keep_color = keep_color | new2
+        if second_target == "goals":
+            # Blue goal pattern: background only, color kept.
+            keep_color = keep_color | new2
+        else:
+            # Prune family: the red layer lives on the BOARD (its goal
+            # copy stays colorless, like the green layer's).
+            fg = fg | new2
         board = board2
         conv_all = conv_all & conv1 & conv2
 
@@ -574,9 +583,11 @@ def gen_partitioned_levels(task, num_levels, seed=0, h=26, w=26,
                            iters=1200):
     """Generate a bank of multi-region levels from the REAL task
     distribution (partition -> fence -> layered regions), annealing on
-    device.  Supported: "append-still" (2-3 regions of 'append medium')
-    and "append-dynamic" (2-3 regions of 'append dynamic hard' — the
-    board pattern is a period-2 oscillator and the goal boards evolve).
+    device.  Supported: "append-still" (2-3 regions of 'append medium'),
+    "prune-still" (2-3 regions of 'prune medium' — red removal targets
+    on the board) and "append-dynamic" (2 regions of 'append dynamic
+    hard' — the board pattern is a period-2 oscillator and the goal
+    boards evolve).
 
     Returns (LevelBank, converged (B,) bool).  Cite: reference
     proc_gen.py:474-594 (gen_game) + levels/random/append-*.yaml.
@@ -587,6 +598,11 @@ def gen_partitioned_levels(task, num_levels, seed=0, h=26, w=26,
         "append-still": dict(period=1, board_fill=0.1, goal_fill=0.05,
                              board_temp=0.5, goal_temp=0.2,
                              movable_frac=0.3),
+        # 'prune medium': the second layer is RED life on the BOARD
+        # (goals stay uncolored; removing red is the work).
+        "prune-still": dict(period=1, board_fill=0.1, goal_fill=0.05,
+                            board_temp=0.5, goal_temp=0.2,
+                            movable_frac=0.3, second_target="board"),
         # The reference's dynamic layer bounds fill to [0.1, 0.2] and its
         # retry loop lands ensembles near the middle; our annealer stops
         # growing at min_fill, so target the realized mean directly.

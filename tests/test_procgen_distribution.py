@@ -170,7 +170,7 @@ def test_generated_distribution_matches_reference_archive(suite):
     assert (got["possible"] > 0).all(), "every level must have work to do"
 
 
-@pytest.mark.parametrize("task", ["append-still", "append-dynamic"])
+@pytest.mark.parametrize("task", ["append-still", "prune-still", "append-dynamic"])
 def test_partitioned_factory_matches_reference_archive(task):
     """The fully-batched multi-region factory (host partition scaffolds +
     on-device layered annealing, procgen/batched.gen_partitioned_levels)
