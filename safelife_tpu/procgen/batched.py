@@ -32,10 +32,11 @@ Two level factories build on the annealer:
   Dirichlet region partitioning + fences + player/exit aprons (cheap
   numpy, amortized over the bank), then per-region board/goal pattern
   layers annealed on device with the reference's layer semantics
-  (fences -> colored pattern incl. walls/trees -> movable-wall
-  decoration -> goal-layer crates; foreground/background split as in
-  ``populate_region``).  Covers the append-still and append-dynamic
-  families; gated against the reference archives by
+  (fences -> spawners/tree lattices/colored patterns incl. walls/trees
+  -> movable-wall + hardened-life decoration -> goal-layer crates;
+  foreground/background split as in ``populate_region``).  Covers the
+  append-still/dynamic/spawn and prune-still/hard/dynamic/spawn
+  families (_TASK_SPECS); gated against the reference archives by
   tests/test_procgen_distribution.py.
 """
 
@@ -423,6 +424,7 @@ def _partition_scaffolds(batch, h, w, min_regions=2, max_regions=3):
     Returns dict of stacked numpy arrays:
       board0 (H, W, B) u16   — fences + player + exit pre-painted
       fence  (H, W, B) bool  — fence cells (part of fg AND bg)
+      fence_slot (R, H, W, B) bool — fence cells per region slot
       slots  (R, H, W, B) bool — per-region workable masks
       buffer (H, W, B) bool  — unpainted buffer (for white goals)
       pr, pc (B,) int32      — player position
@@ -431,6 +433,7 @@ def _partition_scaffolds(batch, h, w, min_regions=2, max_regions=3):
 
     board0 = np.zeros((h, w, batch), np.uint16)
     fence_all = np.zeros((h, w, batch), bool)
+    fence_slot = np.zeros((MAX_REGIONS, h, w, batch), bool)
     slots = np.zeros((MAX_REGIONS, h, w, batch), bool)
     buffer_mask = np.zeros((h, w, batch), bool)
     pr = np.zeros(batch, np.int32)
@@ -467,6 +470,7 @@ def _partition_scaffolds(batch, h, w, min_regions=2, max_regions=3):
             fences |= f
             board[f] = C.WALL
             slots[n, :, :, b] = m
+            fence_slot[n, :, :, b] = f
         fence_all[:, :, b] = fences
         # The buffer is everything outside the regions — fences and the
         # player/exit cells included (gen_game's white-goal rule colors
@@ -474,99 +478,229 @@ def _partition_scaffolds(batch, h, w, min_regions=2, max_regions=3):
         buffer_mask[:, :, b] = regions <= 0
         board0[:, :, b] = board
         pr[b], pc[b] = ai, aj
-    return dict(board0=board0, fence=fence_all, slots=slots,
-                buffer=buffer_mask, pr=pr, pc=pc)
+    return dict(board0=board0, fence=fence_all, fence_slot=fence_slot,
+                slots=slots, buffer=buffer_mask, pr=pr, pc=pc)
 
 
-@partial(jax.jit, static_argnames=("batch", "iters", "period",
-                                   "second_target"))
-def _paint_partitioned(key, board0, fence, slots, buffer_mask, batch,
-                       iters=1200, period=1,
-                       board_fill=0.1, goal_fill=0.05,
-                       board_temp=0.5, goal_temp=0.2,
-                       movable_frac=0.3, second_target="goals"):
+# Region layer vocabulary for the partitioned painter: static per-task
+# specs mirroring the presets.py named regions (reference _defaults.yaml
+# named_regions).  Where the reference draws per-level 'choices' (region
+# variant, fill bands, lattice color) we collapse to the archives'
+# REALIZED ensemble: fills target realized means (our annealer stops
+# growing at min_fill; the reference's retry loop lands mid-band) and the
+# medium-vs-hard region choice becomes a per-level coin on the hard
+# decoration (``hardened`` = (per-level prob, per-cell frac)).
+#
+# Layer keys: kind 'pattern'|'lattice'|'spawners'; color (u16, or
+# 'gy' = per-level green/yellow coin); target 'board'|'goals'; period;
+# fill/temp; wall/tree density-penalty pairs; movable (movable_walls
+# frac); hardened; rate (spawner density); osc (oscillation bonus).
+def _pat(color, target="board", period=1, fill=0.1, temp=0.5,
+         wall=(1.0, 20.0), tree=(100.0, 100.0), movable=0.0,
+         hardened=(0.0, 0.0), osc=0.0):
+    return dict(kind="pattern", color=color, target=target, period=period,
+                fill=fill, temp=temp, wall=wall, tree=tree,
+                movable=movable, hardened=hardened, osc=osc)
+
+
+_APPEND_MED = (
+    _pat(C.COLOR_G, fill=0.1, temp=0.5, tree=(1.0, 20.0), movable=0.3),
+    _pat(C.COLOR_B, target="goals", fill=0.05, temp=0.2, wall=(0.0, 20.0),
+         movable=1.0),
+)
+_APPEND_DYN = (
+    _pat(C.COLOR_G, period=2, fill=0.16, temp=0.5, tree=(1.0, 20.0),
+         movable=0.1, osc=0.3),
+    _pat(C.COLOR_B, target="goals", period=2, fill=0.10, temp=0.8,
+         wall=(0.0, 20.0), movable=1.0),
+)
+_PRUNE_MED = (
+    _pat(C.COLOR_G, fill=0.1, temp=0.5, tree=(1.0, 20.0), movable=0.3),
+    _pat(C.COLOR_R, fill=0.05, temp=0.2, wall=(0.0, 20.0), movable=1.0),
+)
+# prune-still-hard later regions: choices ['prune medium', 'prune hard']
+# (red fill bands 0.05-0.2 / 0.15-0.4, hard red is fully hardened).
+_PRUNE_MED_HARD = (
+    _pat(C.COLOR_G, fill=0.1, temp=0.5, tree=(1.0, 20.0), movable=0.2),
+    _pat(C.COLOR_R, fill=0.12, temp=0.35, wall=(0.0, 20.0), movable=1.0,
+         hardened=(0.5, 1.0)),
+)
+# prune-dynamic later regions: choices ['prune dynamic medium', 'hard'].
+_PRUNE_DYN = (
+    _pat(C.COLOR_G, period=2, fill=0.10, temp=0.5, tree=(1.0, 20.0),
+         movable=0.2, osc=0.3),
+    _pat(C.COLOR_R, period=2, fill=0.12, temp=0.6, wall=(0.0, 20.0),
+         movable=1.0, hardened=(0.5, 1.0), osc=0.3),
+)
+# 'berry patch': green/yellow tree lattice + a loose green still layer +
+# red removal targets.  Dynamic variant oscillates.
+_BERRY = (
+    dict(kind="lattice", color="gy", target="board"),
+    _pat(C.COLOR_G, fill=0.1, temp=0.5, wall=(100.0, 100.0)),
+    _pat(C.COLOR_R, fill=0.15, temp=0.4, movable=1.0),
+)
+_BERRY_DYN = (
+    dict(kind="lattice", color="gy", target="board"),
+    _pat(C.COLOR_G, period=2, fill=0.1, temp=0.5, wall=(0.5, 10.0),
+         tree=(0.0, 20.0), osc=0.3),
+    _pat(C.COLOR_R, period=2, fill=0.15, temp=0.5, movable=1.0, osc=0.3),
+)
+# 'empty spawner': fenced region holding only spawners (density 0.04).
+_SPAWNER_EMPTY = (
+    dict(kind="spawners", color=C.COLOR_R | C.COLOR_G, target="board",
+         rate=0.04),
+)
+
+# task -> (max_regions, starting-slot layers, later-slot layers).
+# Partitioning min_regions is always 2 (presets.TASKS).
+_TASK_SPECS = {
+    "append-still": (3, _APPEND_MED, _APPEND_MED),
+    "append-dynamic": (2, _APPEND_DYN, _APPEND_DYN),
+    "append-spawn": (3, _SPAWNER_EMPTY, _APPEND_MED),
+    "prune-still": (3, _PRUNE_MED, _PRUNE_MED),
+    "prune-still-hard": (3, _BERRY, _PRUNE_MED_HARD),
+    "prune-dynamic": (3, _BERRY_DYN, _PRUNE_DYN),
+    "prune-spawn": (3, _SPAWNER_EMPTY, _PRUNE_MED),
+}
+
+
+def _dil(m):
+    r2 = m | jnp.roll(m, 1, 0) | jnp.roll(m, -1, 0)
+    return r2 | jnp.roll(r2, 1, 1) | jnp.roll(r2, -1, 1)
+
+
+@partial(jax.jit, static_argnames=("batch", "iters", "task"))
+def _paint_partitioned(key, board0, fence_slot, slots, buffer_mask, batch,
+                       task, iters=1200):
     """Device phase of :func:`gen_partitioned_levels`: per region slot,
-    anneal the colored board pattern (walls/trees allowed) then the goal
-    pattern on the same working board (a joint still configuration), with
-    the painter's foreground/background split (generate._RegionPainter):
+    paint the task's layer stack (generate._RegionPainter semantics) on a
+    shared working board:
 
-      board  = fences + board-layer cells (+ green on live cells,
-               movable decoration on some walls) + player/exit
-      goals  = fences + colorless board-layer copy + blue goal pattern
-               (goal-layer walls become crates, movable_walls=1)
+      * 'pattern' layers anneal a colored still/oscillating pattern
+        (walls/trees per the density penalties); fresh live cells take
+        the layer color, fresh walls take the movable decoration, fresh
+        life may be hardened (DESTRUCTIBLE stripped).  target='goals'
+        layers keep their color in the goal copy and put only their
+        non-live cells (crates) on the board.
+      * 'lattice' layers stamp the tree lattice (berry patches), with a
+        per-level green/yellow color coin.
+      * 'spawners' layers scatter spawners over the region interior
+        (at least one per region, reference add_spawners).
+
+    The fences painted by the scaffold take the first layer's
+    movable_walls decoration (reference paint_layer: new_cells covers
+    the fences).  Oscillating cells and their neighborhoods are frozen
+    against later layers (run_pattern's CAN_OSCILLATE bookkeeping).
     """
     board = board0
+    h, w = board.shape[:2]
     fg = board0 != 0
-    bg = fence.astype(bool)
+    bg = jnp.zeros(board.shape, bool)
     keep_color = jnp.zeros(board.shape, bool)
+    osc_forbid = jnp.zeros(board.shape, bool)
     conv_all = jnp.ones(batch, bool)
+    max_regions, start_layers, later_layers = _TASK_SPECS[task]
 
-    # Fences are painted in the same layer as the board pattern, so the
-    # movable_walls decoration hits them too (reference paint_layer:
-    # new_cells covers the fences).
-    key, k_mwf = jax.random.split(key)
-    mw_f = fence & (jax.random.uniform(k_mwf, board.shape) < movable_frac)
-    board = jnp.where(mw_f, board | jnp.uint16(C.MOVABLE), board)
+    lattice = jnp.asarray(
+        np.broadcast_to(_host_lattice(h, w)[..., None], (h, w, batch)))
 
     for r in range(MAX_REGIONS):
-        key, k1, k2, k_mw = jax.random.split(key, 4)
-        m_r = slots[r] & (board == 0)
-        # Reference 'append medium' / 'append dynamic hard' board layer:
-        # wall [1, 20], tree [1, 20] (density-0 -> density-1 penalties).
-        board1, conv1 = gen_still_lifes(
-            k1, m_r, batch, board=board, iters=iters,
-            min_fill=board_fill, temperature=board_temp,
-            cell_penalties=((0.0, 0.0), (1.0, 20.0),
-                            (0.0, 0.0), (1.0, 20.0)),
-            period=period, osc_bonus=0.3 if period > 1 else 0.0)
-        new1 = board1 != board
-        alive1 = new1 & ((board1 & C.ALIVE) != 0)
-        board1 = jnp.where(alive1, board1 | jnp.uint16(C.COLOR_G), board1)
-        is_wall = new1 & ((board1 & ~jnp.uint16(C.COLORS)) == C.WALL)
-        mw = is_wall & (jax.random.uniform(k_mw, board.shape)
-                        < movable_frac)
-        board1 = jnp.where(mw, board1 | jnp.uint16(C.MOVABLE), board1)
-        fg = fg | new1
-        bg = bg | new1
-        board = board1
+        layers = start_layers if r == 0 else later_layers
+        bg = bg | fence_slot[r]
+        # Fence decoration comes from the slot's first layer.
+        mov0 = layers[0].get("movable", 0.0)
+        if mov0 > 0:
+            key, k_mwf = jax.random.split(key)
+            mw_f = fence_slot[r] & (
+                jax.random.uniform(k_mwf, board.shape) < mov0)
+            board = jnp.where(mw_f, board | jnp.uint16(C.MOVABLE), board)
 
-        m_g = slots[r] & (board == 0)
-        if period > 1:
-            # The painter forbids building in (the dilation of) the
-            # oscillating cells: edits there would propagate into the
-            # oscillator (generate._RegionPainter.run_pattern).
-            nxt = life.advance_board(board, jnp.zeros(board.shape, bool))
-            osc = (nxt != 0) != (board != 0)
+        for layer in layers:
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
+            avail = slots[r] & (board == 0) & ~osc_forbid
+            color = layer["color"]
+            if color == "gy":
+                coin = jax.random.bernoulli(k4, 0.5, (batch,))
+                color = jnp.where(coin, jnp.uint16(C.COLOR_G),
+                                  jnp.uint16(C.COLOR_R | C.COLOR_G))
+                color = color[None, None, :]
+            else:
+                color = jnp.uint16(color)
 
-            def dil(m):
-                r2 = m | jnp.roll(m, 1, 0) | jnp.roll(m, -1, 0)
-                return r2 | jnp.roll(r2, 1, 1) | jnp.roll(r2, -1, 1)
-            m_g = m_g & ~dil(osc)
-        # Goal layer: wall [0, 20], no trees (default 100).
-        board2, conv2 = gen_still_lifes(
-            k2, m_g, batch, board=board, iters=iters,
-            min_fill=goal_fill, temperature=goal_temp,
-            cell_penalties=((0.0, 0.0), (0.0, 20.0),
-                            (0.0, 0.0), (100.0, 100.0)),
-            period=period, osc_bonus=0.0)
-        new2 = board2 != board
-        alive2 = new2 & ((board2 & C.ALIVE) != 0)
-        layer2_color = jnp.uint16(
-            C.COLOR_B if second_target == "goals" else C.COLOR_R)
-        board2 = jnp.where(alive2, board2 | layer2_color, board2)
-        # movable_walls = 1 on the second layer: its walls are crates.
-        crate = new2 & ((board2 & ~jnp.uint16(C.COLORS)) == C.WALL)
-        board2 = jnp.where(crate, board2 | jnp.uint16(C.MOVABLE), board2)
-        bg = bg | new2
-        if second_target == "goals":
-            # Blue goal pattern: background only, color kept.
-            keep_color = keep_color | new2
-        else:
-            # Prune family: the red layer lives on the BOARD (its goal
-            # copy stays colorless, like the green layer's).
-            fg = fg | new2
-        board = board2
-        conv_all = conv_all & conv1 & conv2
+            if layer["kind"] == "spawners":
+                interior = avail & ~_dil(~slots[r])
+                cells = interior & (
+                    jax.random.uniform(k1, board.shape) < layer["rate"])
+                # Guarantee >= 1 spawner when the region exists
+                # (reference add_spawners).
+                flat_int = interior.reshape(hw := h * w, batch)
+                none = ~cells.reshape(hw, batch).any(axis=0)
+                g = jax.random.gumbel(k2, (hw, batch))
+                pick = jnp.argmax(jnp.where(flat_int, g, -jnp.inf), axis=0)
+                forced = (jnp.arange(hw)[:, None] == pick[None, :]) \
+                    & none[None, :] & flat_int
+                cells = cells | forced.reshape(h, w, batch)
+                board = jnp.where(
+                    cells, jnp.uint16(C.SPAWNER) | color, board)
+                fg = fg | cells
+                bg = bg | cells
+                continue
+
+            if layer["kind"] == "lattice":
+                cells = lattice & avail
+                board = jnp.where(cells, jnp.uint16(C.TREE) | color, board)
+                fg = fg | cells
+                bg = bg | cells
+                continue
+
+            # Annealed pattern layer.
+            period = layer["period"]
+            e0, e1 = (0.0, 0.0), (0.0, 0.0)
+            pens = (e0, tuple(layer["wall"]), e1, tuple(layer["tree"]))
+            board1, conv1 = gen_still_lifes(
+                k1, avail, batch, board=board, iters=iters,
+                min_fill=layer["fill"], temperature=layer["temp"],
+                cell_penalties=pens, period=period, osc_bonus=layer["osc"])
+            new = board1 != board
+            alive_new = new & ((board1 & C.ALIVE) != 0)
+            board1 = jnp.where(alive_new, board1 | color, board1)
+            if layer["movable"] > 0:
+                is_wall = new & (
+                    (board1 & ~jnp.uint16(C.COLORS)) == C.WALL)
+                mw = is_wall & (jax.random.uniform(k2, board.shape)
+                                < layer["movable"])
+                board1 = jnp.where(mw, board1 | jnp.uint16(C.MOVABLE),
+                                   board1)
+            lvl_p, cell_f = layer["hardened"]
+            if lvl_p > 0:
+                lanes = jax.random.bernoulli(k3, lvl_p, (batch,))
+                hard = alive_new & lanes[None, None, :]
+                if cell_f < 1.0:
+                    hard = hard & (jax.random.uniform(k4, board.shape)
+                                   < cell_f)
+                board1 = jnp.where(
+                    hard, board1 & ~jnp.uint16(C.DESTRUCTIBLE), board1)
+            if period > 1:
+                # Freeze the oscillators' neighborhoods against later
+                # layers: edits there would propagate into the cycle
+                # (generate._RegionPainter.run_pattern).
+                nxt = life.advance_board(
+                    board1, jnp.zeros(board.shape, bool))
+                osc = (nxt != 0) != (board1 != 0)
+                osc_forbid = osc_forbid | _dil(osc)
+            bg = bg | new
+            if layer["target"] == "goals":
+                keep_color = keep_color | new
+                # Goal-layer walls still land on the board as crates;
+                # only its live cells are goal-only (mark_targets).
+                fg = fg | (new & ~alive_new)
+            else:
+                fg = fg | new
+            board = board1
+            conv_all = conv_all & conv1
+
+        if r + 1 >= max_regions:
+            break
 
     final_board = jnp.where(fg, board, jnp.uint16(0))
     goals = jnp.where(bg, board, jnp.uint16(0))
@@ -579,54 +713,42 @@ def _paint_partitioned(key, board0, fence, slots, buffer_mask, batch,
     return final_board, goals, conv_all
 
 
+def _host_lattice(h, w):
+    """The default staggered tree lattice as a (H, W) numpy mask
+    (generate._lattice_cells with spec=True: spacing 5)."""
+    from .generate import _lattice_cells
+    return np.asarray(_lattice_cells((h, w), True), bool)
+
+
 def gen_partitioned_levels(task, num_levels, seed=0, h=26, w=26,
                            iters=1200):
     """Generate a bank of multi-region levels from the REAL task
     distribution (partition -> fence -> layered regions), annealing on
-    device.  Supported: "append-still" (2-3 regions of 'append medium'),
-    "prune-still" (2-3 regions of 'prune medium' — red removal targets
-    on the board) and "append-dynamic" (2 regions of 'append dynamic
-    hard' — the board pattern is a period-2 oscillator and the goal
-    boards evolve).
+    device.  Supported tasks: append-still, append-dynamic, append-spawn,
+    prune-still, prune-still-hard, prune-dynamic, prune-spawn — each
+    mapped to its preset region stack (_TASK_SPECS; presets.TASKS).
 
     Returns (LevelBank, converged (B,) bool).  Cite: reference
-    proc_gen.py:474-594 (gen_game) + levels/random/append-*.yaml.
+    proc_gen.py:474-594 (gen_game) + levels/random/*.yaml.
     """
     from ..levels.device_bank import build_bank_from_arrays
 
-    spec = {
-        "append-still": dict(period=1, board_fill=0.1, goal_fill=0.05,
-                             board_temp=0.5, goal_temp=0.2,
-                             movable_frac=0.3),
-        # 'prune medium': the second layer is RED life on the BOARD
-        # (goals stay uncolored; removing red is the work).
-        "prune-still": dict(period=1, board_fill=0.1, goal_fill=0.05,
-                            board_temp=0.5, goal_temp=0.2,
-                            movable_frac=0.3, second_target="board"),
-        # The reference's dynamic layer bounds fill to [0.1, 0.2] and its
-        # retry loop lands ensembles near the middle; our annealer stops
-        # growing at min_fill, so target the realized mean directly.
-        # goal_fill is tuned to the archives' REALIZED blue-goal mass
-        # (the reference's nominal 0.15 is taken against a workable area
-        # already shrunken by buffer zones its painter applies).
-        "append-dynamic": dict(period=2, board_fill=0.16, goal_fill=0.10,
-                               board_temp=0.5, goal_temp=0.8,
-                               movable_frac=0.1),
-    }[task]
+    max_regions, start_layers, later_layers = _TASK_SPECS[task]
     np.random.seed(seed)
-    # Partitioning per the task presets: append-still 2-3 regions,
-    # append-dynamic exactly 2.
-    max_regions = 2 if task == "append-dynamic" else 3
     sc = _partition_scaffolds(num_levels, h, w, max_regions=max_regions)
     key = jax.random.PRNGKey(seed)
     board, goals, conv = _paint_partitioned(
-        key, jnp.asarray(sc["board0"]), jnp.asarray(sc["fence"]),
+        key, jnp.asarray(sc["board0"]), jnp.asarray(sc["fence_slot"]),
         jnp.asarray(sc["slots"]), jnp.asarray(sc["buffer"]),
-        batch=num_levels, iters=iters, **spec)
-    static_goals = spec["period"] == 1
+        batch=num_levels, task=task, iters=iters)
+    all_layers = tuple(start_layers) + tuple(later_layers)
+    static_goals = all(l.get("period", 1) == 1 for l in all_layers)
+    has_spawners = any(l["kind"] == "spawners" for l in all_layers)
     bank = build_bank_from_arrays(
         board, goals, jnp.asarray(sc["pr"]), jnp.asarray(sc["pc"]),
         min_performance=0.5,
-        static_goals=static_goals, spawnless=True,
+        spawn_prob=jnp.full(num_levels, 0.3, jnp.float32)
+        if has_spawners else None,
+        static_goals=static_goals, spawnless=not has_spawners,
         simple_goals=not static_goals)
     return bank, conv

@@ -170,13 +170,16 @@ def test_generated_distribution_matches_reference_archive(suite):
     assert (got["possible"] > 0).all(), "every level must have work to do"
 
 
-@pytest.mark.parametrize("task", ["append-still", "prune-still", "append-dynamic"])
+@pytest.mark.parametrize("task", ["append-still", "prune-still",
+                                  "append-dynamic", "prune-dynamic",
+                                  "prune-still-hard", "append-spawn",
+                                  "prune-spawn"])
 def test_partitioned_factory_matches_reference_archive(task):
     """The fully-batched multi-region factory (host partition scaffolds +
     on-device layered annealing, procgen/batched.gen_partitioned_levels)
     emits levels from the REAL task distribution: ensemble statistics
     must match the reference archives like the host pipeline's do
-    (VERDICT r2 #5)."""
+    (VERDICT r2 #5), for every trainable task family."""
     from safelife_tpu.procgen.batched import gen_partitioned_levels
 
     n = 16
@@ -192,11 +195,25 @@ def test_partitioned_factory_matches_reference_archive(task):
            for i in range(n) if conv[i]]
 
     ref_levels = loader.load_levels(f"benchmarks/v1.0/{task}")
-    compare(ensemble_stats(ref_levels), ensemble_stats(gen),
-            f"factory/{task}")
-    if task == "append-dynamic":
-        got = ensemble_stats(gen)
-        assert got["oscillates"].mean() > 0.5, "dynamic goals must move"
+    got = ensemble_stats(gen)
+    compare(ensemble_stats(ref_levels), got, f"factory/{task}")
+    if "dynamic" in task:
+        assert got["oscillates"].mean() > 0.5, "dynamic boards must move"
         assert not bank.static_goals and bank.simple_goals
     else:
         assert bank.static_goals
+    if task.endswith("spawn"):
+        assert (got["spawners"] > 0).all(), "every level needs a spawner"
+        assert not bank.spawnless
+        assert np.allclose(np.asarray(bank.spawn_prob)[conv], 0.3)
+    else:
+        assert bank.spawnless
+    if task in ("prune-still-hard", "prune-dynamic"):
+        # The medium-vs-hard region choice: some red life is hardened
+        # (DESTRUCTIBLE stripped), some not (reference 'prune hard'
+        # hardened_life=1 on half the region draws).
+        red = ((board & C.COLOR_R) != 0) & ((board & C.ALIVE) != 0) \
+            & ((board & C.COLOR_G) == 0)
+        hard = red & ((board & C.DESTRUCTIBLE) == 0)
+        assert hard[..., conv].any(), "hard variant must harden red life"
+        assert (red & ~hard)[..., conv].any(), "medium variant must not"
