@@ -114,17 +114,16 @@ class BatchedSafeLifeEnv:
         """
         lv = bank.take_onehot(idx)
         init_board = lv.board
-        init_goals = lv.goals
         # update_exit_colors at reset: exits closed unless immediately open.
         board = _recolor_exits(init_board, init_board, lv.can_exit0)
         batch = idx.shape[0]
         return dict(
-            board=board, goals=init_goals,
+            board=board, goals=lv.goals,
             agent_row=lv.agent_row.astype(jnp.int32),
             agent_col=lv.agent_col.astype(jnp.int32),
             orientation=lv.orientation.astype(jnp.int32),
             game_over=jnp.zeros(batch, bool),
-            init_board=init_board, init_goals=init_goals,
+            init_board=init_board,
             spawn_prob=lv.spawn_prob.astype(jnp.float32),
             min_performance=lv.min_performance.astype(jnp.float32),
             baseline_score=lv.baseline_score,
@@ -228,7 +227,7 @@ class BatchedSafeLifeEnv:
         if fused:
             # Fast path: fused Pallas kernels do action + both CA advances
             # (in-core PRNG) + scoring + exit recolor + side-effect count —
-            # and, when auto-resetting, the reset select of the four board
+            # and, when auto-resetting, the reset select of the three board
             # arrays — in single VMEM passes.  The XLA path below is the
             # reference semantics (CPU, parity mode with precomputed spawn
             # fields, toggle powers/colors) and the two are tested equal.
@@ -258,7 +257,6 @@ class BatchedSafeLifeEnv:
                 spawnless=bank.spawnless,
                 simple_goals=bank.simple_goals,
                 perf_possible=state.perf_possible,
-                init_goals=state.init_goals,
                 episode_length=state.episode_length,
                 fresh=fresh,
                 time_limit=cfg.time_limit if cfg.auto_reset else 0,
@@ -272,10 +270,9 @@ class BatchedSafeLifeEnv:
             if cfg.auto_reset:
                 reset_boards = dict(
                     board=board, goals=goals,
-                    init_board=out[11], init_goals=out[12],
-                    fresh=fresh, idx=idx)
+                    init_board=out[11], fresh=fresh, idx=idx)
                 if kernel_obs:
-                    packed_view = out[13]
+                    packed_view = out[12]
             exit_reward = exited.astype(jnp.float32) * jnp.float32(
                 cfg.points_on_level_exit)
             act = agent_ops.ActionResult(
@@ -328,16 +325,14 @@ class BatchedSafeLifeEnv:
         new_state = mid
         if cfg.auto_reset:
             if reset_boards is not None:
-                # The kernel already reset the four board arrays in its
+                # The kernel already reset the three board arrays in its
                 # write pass; select only the small per-lane leaves here.
                 fresh = reset_boards["fresh"]
                 small = {k: v for k, v in fresh.items()
-                         if k not in ("board", "goals", "init_board",
-                                      "init_goals")}
+                         if k not in ("board", "goals", "init_board")}
                 new_state = _select_reset(mid, small, done)
                 new_state = new_state.replace(
-                    init_board=reset_boards["init_board"],
-                    init_goals=reset_boards["init_goals"])
+                    init_board=reset_boards["init_board"])
             else:
                 if fresh_levels is not None and not cfg.sequential_levels:
                     idx, fresh = fresh_levels

@@ -122,9 +122,12 @@ class EnvState(struct.PyTreeNode):
     agent_col: Any    # (B,) int32
     orientation: Any  # (B,) int32
     game_over: Any    # (B,) bool  (agent exited / aborted)
-    # Per-level constants (change only on reset)
+    # Per-level constants (change only on reset).  There is deliberately
+    # no init_goals plane: the original goal board never feeds the hot
+    # step, and ``bank.goals`` at ``level_idx`` recovers it for cold-path
+    # consumers — carrying it would cost the fused kernel three extra
+    # full-board HBM streams per step on dynamic-goal banks.
     init_board: Any   # (H, W, B) uint16 — revert/scoring/side-effect baseline
-    init_goals: Any   # (H, W, B) uint16
     spawn_prob: Any   # (B,) float32
     min_performance: Any  # (B,) float32
     baseline_score: Any   # (B,) int32 — perf score of the initial state

@@ -245,11 +245,11 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
     emit_obs = obs_view is not None
     assert not emit_obs or do_reset
     obs_i_ref = out_obs_ref = None
-    if do_reset and static_goals:
-        # Static goals: goals == init_goals at all times (the goal board
-        # never advances and resets swap both to the same fresh plane), so
-        # the init_goals stream is dropped entirely — out_goals doubles as
-        # out_init_goals.  Saves 3 full-board HBM streams per step.
+    if do_reset:
+        # The state carries no init_goals leaf at all (the original goal
+        # board is bank.goals[level_idx], recoverable from the level_idx
+        # the state already tracks) — the kernel streams exactly three
+        # live boards + three fresh boards, static or dynamic goals alike.
         if emit_obs:
             (act_ref, obs_i_ref, board_ref, goals_ref, init_ref,
              fb_ref, fg_ref, fib_ref,
@@ -259,20 +259,6 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
             (act_ref, board_ref, goals_ref, init_ref,
              fb_ref, fg_ref, fib_ref,
              out_board_ref, out_goals_ref, out_ib_ref,
-             out_i_ref) = refs
-        initg_ref = goals_ref
-        fig_ref = fg_ref
-        out_ig_ref = None
-    elif do_reset:
-        if emit_obs:
-            (act_ref, obs_i_ref, board_ref, goals_ref, init_ref, initg_ref,
-             fb_ref, fg_ref, fib_ref, fig_ref,
-             out_board_ref, out_goals_ref, out_ib_ref, out_ig_ref,
-             out_obs_ref, out_i_ref) = refs
-        else:
-            (act_ref, board_ref, goals_ref, init_ref, initg_ref,
-             fb_ref, fg_ref, fib_ref, fig_ref,
-             out_board_ref, out_goals_ref, out_ib_ref, out_ig_ref,
              out_i_ref) = refs
     else:
         (board_ref, goals_ref, init_ref,
@@ -358,8 +344,6 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
             else goals.astype(jnp.uint16)
         out_goals_ref[:] = jnp.where(m, fg_ref[:], goals_out)
         out_ib_ref[:] = jnp.where(m, fib_ref[:], init_ref[:])
-        if out_ig_ref is not None:
-            out_ig_ref[:] = jnp.where(m, fig_ref[:], initg_ref[:])
         if emit_obs:
             # Post-reset state for the observation: the kernel's output
             # boards plus reset-selected agent position and exit tables
@@ -427,7 +411,7 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
 def fused_step(board, goals, init_board, action, agent_row, agent_col,
                orientation, game_over, can_exit0, baseline_score,
                spawn_prob, min_performance, seed, interpret=False,
-               static_goals=False, init_goals=None, episode_length=None,
+               static_goals=False, episode_length=None,
                fresh=None, time_limit=0, spawnless=False,
                simple_goals=False, obs_view=None,
                exit_row=None, exit_col=None, exit_valid=None,
@@ -437,18 +421,20 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
     """Run the fused env-step core.  All per-env args are (B,) with
     B % 128 == 0; boards are (H, W, B) uint16.
 
-    With ``time_limit > 0`` the auto-reset select for the four board
+    With ``time_limit > 0`` the auto-reset select for the three board
     arrays is folded into the advance kernel's write pass: pass
-    ``init_goals``, ``episode_length`` and ``fresh`` (a dict holding the
-    pre-gathered fresh board/goals/init_board/init_goals).
+    ``episode_length`` and ``fresh`` (a dict holding the pre-gathered
+    fresh board/goals/init_board).  The environment carries no
+    init_goals plane — the original goal board is ``bank.goals`` at the
+    state's ``level_idx`` for any cold-path consumer.
 
     With ``obs_view=(vh, vw)`` (fold path only; pass the live exit
     tables too) the packed agent-centered observation view is emitted
     from the kernel's VMEM residency — append it as the last output.
 
     Returns (board', goals', agent_row', agent_col', orientation', exited,
-    points, perf_completed, perf_possible, can_exit1[, init_board',
-    init_goals'][, obs_view_packed]).
+    points, perf_completed, perf_possible, can_exit1[, init_board']
+    [, obs_view_packed]).
     """
     h, w, b = board.shape
     assert b % LANES == 0, f"batch {b} must be a multiple of {LANES}"
@@ -536,9 +522,10 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
                                           memory_space=pltpu.VMEM)]
             obs_out_shape = [jax.ShapeDtypeStruct((vh, vw, b), jnp.uint16)]
 
-    if time_limit > 0 and static_goals:
-        # goals == init_goals throughout for static-goal banks; drop the
-        # duplicate streams (see _advance_kernel).
+    if time_limit > 0:
+        # Three live boards + three fresh boards in, three boards out —
+        # static and dynamic goals alike (the state carries no init_goals
+        # leaf; bank.goals[level_idx] recovers the original goal board).
         outs = pl.pallas_call(
             kern,
             grid=grid,
@@ -556,28 +543,7 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
         adv_i = rest[-1]
         ret = (out_board, out_goals, act_i[0], act_i[1], act_i[2],
                act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
-               adv_i[3].astype(bool), adv_i[4], out_ib, out_goals)
-        return ret + (rest[0],) if emit_obs else ret
-    if time_limit > 0:
-        outs = pl.pallas_call(
-            kern,
-            grid=grid,
-            in_specs=common + [lane_spec(4)] + obs_in_specs
-            + [board_spec] * 8,
-            out_specs=tuple([board_spec] * 4 + obs_out_specs
-                            + [lane_spec(8)]),
-            out_shape=tuple([bshape] * 4 + obs_out_shape
-                            + [jax.ShapeDtypeStruct((8, b), jnp.int32)]),
-            compiler_params=params,
-            interpret=interpret,
-        )(seed_arr, si, sf, act_i, *obs_in, board1, goals, init_board,
-          init_goals, fresh["board"], fresh["goals"], fresh["init_board"],
-          fresh["init_goals"])
-        out_board, out_goals, out_ib, out_ig, *rest = outs
-        adv_i = rest[-1]
-        ret = (out_board, out_goals, act_i[0], act_i[1], act_i[2],
-               act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
-               adv_i[3].astype(bool), adv_i[4], out_ib, out_ig)
+               adv_i[3].astype(bool), adv_i[4], out_ib)
         return ret + (rest[0],) if emit_obs else ret
 
     out_board, out_goals, adv_i = pl.pallas_call(

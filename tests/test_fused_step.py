@@ -291,9 +291,8 @@ def test_fused_autoreset_fold():
     time_limit = 10
     # Straddle the limit: lengths 8..11 (post-step 9..12, done iff > 10).
     episode_length = rng.randint(8, 12, B).astype(np.int32)
-    init_goals = rich_soup(rng, (26, 26, B), density=0.1)
     fresh = {k: jnp.asarray(rich_soup(rng, (26, 26, B)))
-             for k in ("board", "goals", "init_board", "init_goals")}
+             for k in ("board", "goals", "init_board")}
 
     args = (jnp.asarray(board), jnp.asarray(goals), jnp.asarray(init_board),
             jnp.asarray(action), jnp.asarray(ar), jnp.asarray(ac),
@@ -303,7 +302,6 @@ def test_fused_autoreset_fold():
     base = env_step_pallas.fused_step(*args, seed=7, interpret=INTERP)
     folded = env_step_pallas.fused_step(
         *args, seed=7, interpret=INTERP,
-        init_goals=jnp.asarray(init_goals),
         episode_length=jnp.asarray(episode_length),
         fresh=fresh, time_limit=time_limit)
 
@@ -320,8 +318,6 @@ def test_fused_autoreset_fold():
                                   sel(fresh["goals"], base[1]))
     np.testing.assert_array_equal(np.asarray(folded[11]),
                                   sel(fresh["init_board"], init_board))
-    np.testing.assert_array_equal(np.asarray(folded[12]),
-                                  sel(fresh["init_goals"], init_goals))
     # Per-lane outputs (points/comp/poss/ce1/effect, agent) are pre-reset:
     for i in (2, 3, 4, 5, 6, 7, 8, 9, 10):
         np.testing.assert_array_equal(
