@@ -337,59 +337,89 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
         exited = act_ref[3, :] != 0
         game_over = (si_ref[4, :] != 0) | exited
         done = (episode_length > time_limit) | game_over
-        m = done[None, None, :]
-        out_board_ref[:] = jnp.where(
-            m, fb_ref[:], board.astype(jnp.uint16))
-        goals_out = goals_ref[:] if static_goals \
-            else goals.astype(jnp.uint16)
-        out_goals_ref[:] = jnp.where(m, fg_ref[:], goals_out)
-        out_ib_ref[:] = jnp.where(m, fib_ref[:], init_ref[:])
-        if emit_obs:
-            # Post-reset state for the observation: the kernel's output
-            # boards plus reset-selected agent position and exit tables
-            # (obs_i rows: fresh_ar, fresh_ac, then exit r/c/v for the
-            # live state and the fresh levels, then live/fresh exit goal
-            # colors and the fresh reset-time exit gate).
-            k = num_exits
-            ar = jnp.where(done, obs_i_ref[0, :], act_ref[0, :])
-            ac = jnp.where(done, obs_i_ref[1, :], act_ref[1, :])
-            rows = lambda base, stride=3: [  # noqa: E731
-                jnp.where(done, obs_i_ref[base + stride * k + i, :],
-                          obs_i_ref[base + i, :]) for i in range(k)]
-            exit_r = rows(2)
-            exit_c = rows(2 + k)
-            exit_v = rows(2 + 2 * k)
-            vals = None
-            if static_goals:
-                # Exit cells are frozen LEVEL_EXIT(+red iff the gate is
-                # open) after recoloring, and the goal color under them
-                # never changes — so the projected exit pixels are pure
-                # per-lane scalars; no masked board reads needed.
-                gate = jnp.where(done, obs_i_ref[2 + 8 * k, :],
-                                 ce1.astype(jnp.int32))
-                red = gate * jnp.int32(C.COLOR_R)
-                vals = []
-                for gc_i in rows(2 + 6 * k, stride=1):
-                    if remove_white_goals:
-                        gc_i = jnp.where(gc_i == 7, 0, gc_i)
-                    vals.append(jnp.int32(C.LEVEL_EXIT) | red
-                                | (gc_i << (C.COLOR_BIT + 3)))
-            final_b = jnp.where(m, fb_ref[:].astype(jnp.int32), board)
-            final_g = jnp.where(m, fg_ref[:].astype(jnp.int32), goals)
-            gcol = final_g & C.COLORS
-            if remove_white_goals:
-                gcol = jnp.where(gcol == C.COLORS, 0, gcol)
-            combined = final_b + (gcol << 3)
-            view = _obs_view_block(combined, ar, ac, obs_view,
-                                   exit_r, exit_c, exit_v, vals)
-            if obs_transposed:
-                # Emit batch-leading from VMEM: the consumer-side
-                # (vh, vw, B) -> (B, vh, vw) HBM transpose disappears.
-                vh, vw = obs_view
-                vt = view.astype(jnp.uint16).reshape(vh * vw, lanes).T
-                out_obs_ref[:] = vt.reshape(lanes, vh, vw)
+
+        def write_outputs(resetting):
+            """Write the output boards (+obs), folding the fresh-level
+            select only when ``resetting`` — with no done lane in this
+            128-lane block every ``where(done, …)`` is the identity, so
+            the non-resetting branch writes the step results directly
+            and skips the select passes.  At time_limit=1000 a block has
+            a resetting lane on ~12% of steps, so ~88% of blocks take
+            the cheap branch (bit-identical by construction)."""
+            m = done[None, None, :]
+            if resetting:
+                out_board_ref[:] = jnp.where(
+                    m, fb_ref[:], board.astype(jnp.uint16))
+                goals_out = goals_ref[:] if static_goals \
+                    else goals.astype(jnp.uint16)
+                out_goals_ref[:] = jnp.where(m, fg_ref[:], goals_out)
+                out_ib_ref[:] = jnp.where(m, fib_ref[:], init_ref[:])
             else:
-                out_obs_ref[:] = view.astype(jnp.uint16)
+                out_board_ref[:] = board.astype(jnp.uint16)
+                out_goals_ref[:] = goals_ref[:] if static_goals \
+                    else goals.astype(jnp.uint16)
+                out_ib_ref[:] = init_ref[:]
+            if emit_obs:
+                # Post-reset state for the observation: the kernel's
+                # output boards plus reset-selected agent position and
+                # exit tables (obs_i rows: fresh_ar, fresh_ac, then exit
+                # r/c/v for the live state and the fresh levels, then
+                # live/fresh exit goal colors and the fresh reset-time
+                # exit gate).
+                k = num_exits
+                sel = lambda f, l: jnp.where(done, f, l) \
+                    if resetting else l  # noqa: E731
+                ar = sel(obs_i_ref[0, :], act_ref[0, :])
+                ac = sel(obs_i_ref[1, :], act_ref[1, :])
+                rows = lambda base, stride=3: [  # noqa: E731
+                    sel(obs_i_ref[base + stride * k + i, :],
+                        obs_i_ref[base + i, :]) for i in range(k)]
+                exit_r = rows(2)
+                exit_c = rows(2 + k)
+                exit_v = rows(2 + 2 * k)
+                vals = None
+                if static_goals:
+                    # Exit cells are frozen LEVEL_EXIT(+red iff the gate
+                    # is open) after recoloring, and the goal color under
+                    # them never changes — so the projected exit pixels
+                    # are pure per-lane scalars; no masked board reads
+                    # needed.
+                    gate = sel(obs_i_ref[2 + 8 * k, :],
+                               ce1.astype(jnp.int32))
+                    red = gate * jnp.int32(C.COLOR_R)
+                    vals = []
+                    for gc_i in rows(2 + 6 * k, stride=1):
+                        if remove_white_goals:
+                            gc_i = jnp.where(gc_i == 7, 0, gc_i)
+                        vals.append(jnp.int32(C.LEVEL_EXIT) | red
+                                    | (gc_i << (C.COLOR_BIT + 3)))
+                if resetting:
+                    final_b = jnp.where(m, fb_ref[:].astype(jnp.int32),
+                                        board)
+                    final_g = jnp.where(m, fg_ref[:].astype(jnp.int32),
+                                        goals)
+                else:
+                    final_b, final_g = board, goals
+                gcol = final_g & C.COLORS
+                if remove_white_goals:
+                    gcol = jnp.where(gcol == C.COLORS, 0, gcol)
+                combined = final_b + (gcol << 3)
+                view = _obs_view_block(combined, ar, ac, obs_view,
+                                       exit_r, exit_c, exit_v, vals)
+                if obs_transposed:
+                    # Emit batch-leading from VMEM: the consumer-side
+                    # (vh, vw, B) -> (B, vh, vw) HBM transpose
+                    # disappears.
+                    vh, vw = obs_view
+                    vt = view.astype(jnp.uint16).reshape(
+                        vh * vw, lanes).T
+                    out_obs_ref[:] = vt.reshape(lanes, vh, vw)
+                else:
+                    out_obs_ref[:] = view.astype(jnp.uint16)
+
+        any_done = jnp.any(done)
+        pl.when(any_done)(lambda: write_outputs(True))
+        pl.when(jnp.logical_not(any_done))(lambda: write_outputs(False))
     else:
         out_board_ref[:] = board.astype(jnp.uint16)
         if static_goals:
