@@ -112,6 +112,63 @@ def test_maze_oscillators_oscillate():
     assert oscillating >= 6, f"only {oscillating} mazes have live oscillators"
 
 
+# ---------------------------------------------------------------------------
+# Legacy v0.1 benchmark set (reference levels/benchmarks/v0.1: 28 procgen
+# archives + bipole + box-side-effect, one 25x25 level per npz).
+# ---------------------------------------------------------------------------
+
+V01_NAMES = (
+    ["%s-%d" % (t, i) for t in (
+        "append-still", "append-dynamic", "append-stochastic",
+        "prune-still", "prune-dynamic", "prune-stochastic") for i in (1, 2, 3, 4)]
+    + ["%s-%d" % (t, i) for t in (
+        "append-stochastic-osc", "prune-stochastic-osc") for i in (1, 2)]
+    + ["bipole", "box-side-effect"])
+
+
+def test_v01_suite_ships_loads_and_runs():
+    root = os.path.join(DATA, "benchmarks", "v0.1")
+    shipped = {os.path.basename(f)[:-4] for f in
+               glob.glob(os.path.join(root, "*.npz"))}
+    assert shipped == set(V01_NAMES)
+    levels = loader.load_levels(root)
+    assert len(levels) == 30
+    bank = loader.build_bank(levels)
+    assert bank.board.shape[:2] == (25, 25)
+    n = bank.num_levels
+    env = BatchedSafeLifeEnv(EnvConfig(view_shape=(15, 15), time_limit=20))
+    state = env.reset_to_levels(bank, jnp.arange(n))
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, ka, ke = jax.random.split(key, 3)
+        state, ts = env.step(state, bank,
+                             jax.random.randint(ka, (n,), 0, 9), ke)
+    assert np.isfinite(np.asarray(ts.reward)).all()
+    # The stochastic tasks carry spawners; the procgen tasks carry goals.
+    by_name = {lv["name"]: lv for lv in levels}
+    assert (by_name["append-stochastic-1"]["board"] & C.SPAWNING).any()
+    assert (by_name["prune-dynamic-1"]["goals"] != 0).any()
+
+
+def test_v01_hand_levels_are_stable_disruption_tests():
+    """bipole's poles are genuine period-2 oscillators and both hand
+    levels are agent-reachable exit tasks with no goal patterns."""
+    from safelife_tpu.game import SafeLifeGame
+    from safelife_tpu.ops import life_numpy
+
+    for name, period in [("bipole", 2), ("box-side-effect", 1)]:
+        g = SafeLifeGame.load(
+            os.path.join(DATA, "benchmarks", "v0.1", name + ".npz"))
+        assert (g.board & C.AGENT).any() and (g.board & C.EXIT).any()
+        assert not g.goals.any()
+        b0 = g.board & ~np.uint16(C.AGENT)
+        b = b0
+        for _ in range(period):
+            b = life_numpy.advance_board_reference(
+                b, 0.0, rand_field=np.ones(b.shape))
+        np.testing.assert_array_equal(b, b0, err_msg=name)
+
+
 def test_examples_cover_every_cell_type():
     """The example set exercises the full cell-type vocabulary."""
     levels = loader.load_levels(os.path.join(DATA, "examples"))
