@@ -54,6 +54,41 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
 ROLLOUT = 20  # fresh-level cadence == PPO steps_per_env
 
 
+def wait_for_device(deadline_s=float(os.environ.get("BENCH_PROBE_DEADLINE",
+                                                    1200))):
+    """Probe the accelerator in a SUBPROCESS until it answers a matmul.
+
+    The TPU here is remote (axon PJRT tunnel); when the pool is wedged the
+    first compute hangs indefinitely while ``jax.devices()`` still lists
+    the chip.  Probing in a child process (killed on timeout) keeps this
+    process clean, and a bounded retry window lets the bench survive a
+    pool flap instead of recording a hang.  Returns True when a probe
+    succeeds; False when the deadline expires (the bench then proceeds —
+    on a CPU-only box the probe succeeds immediately anyway).
+    """
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128), jnp.bfloat16); "
+             "print(float((x @ x).sum()))")
+    t0 = time.monotonic()
+    while True:
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=180,
+                           check=True, capture_output=True)
+            return True
+        except Exception as e:
+            waited = time.monotonic() - t0
+            if waited >= deadline_s:
+                print(f"# device probe still failing after {waited:.0f}s "
+                      f"({type(e).__name__}); proceeding anyway",
+                      file=sys.stderr)
+                return False
+            print(f"# device probe failed ({type(e).__name__}); "
+                  f"retrying ({waited:.0f}s/{deadline_s:.0f}s)",
+                  file=sys.stderr)
+            time.sleep(60)
+
+
 def load_benchmark_bank():
     try:
         return loader.load_bank("benchmarks/v1.0/append-still.npz")
@@ -179,6 +214,7 @@ def time_env(bank, batch, steps):
 
 
 def main():
+    wait_for_device()
     bank = load_benchmark_bank()
     if os.environ.get("BENCH_SELFTEST", "1") != "0":
         selftest(bank)
