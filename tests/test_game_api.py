@@ -56,6 +56,75 @@ def test_game_matches_batched_env():
             break
 
 
+def test_game_matches_batched_env_on_examples():
+    """Cross-check the host game against the batched env over the whole
+    examples set, stepped as ONE batch: these boards exercise crates, ice
+    cubes, plants, parasites, fountains and colored life — push/pull/
+    toggle/freeze paths the single benchmark level above never reaches.
+    Spawn fields are forced false so both paths stay deterministic.
+    Lanes whose episode ends are dropped from the comparison (the host
+    game stops at game_over; the batched env keeps lockstep)."""
+    levels = loader.load_levels(
+        os.path.join(os.path.dirname(loader.__file__), "data", "examples"))
+    groups = loader.group_by_shape(levels)
+    lvls = max(groups.values(), key=len)  # largest uniform-shape group
+    assert len(lvls) >= 8
+    bank = loader.build_bank(lvls)
+    n = bank.num_levels
+
+    games = []
+    for lv in lvls:
+        g = SafeLifeGame(board_size=None)
+        g.deserialize({
+            "board": lv["board"], "goals": lv["goals"],
+            "agent_loc": (int(lv["agent_col"]), int(lv["agent_row"])),
+            "orientation": int(lv["orientation"]),
+            # Spawn draws are masked off on BOTH paths (the env gets
+            # all-false spawn fields below) to keep the rollout
+            # deterministic; everything else about spawners still runs.
+            "spawn_prob": 0.0,
+            "min_performance": float(lv["min_performance"]),
+        })
+        g.update_exit_colors()
+        games.append(g)
+
+    env = BatchedSafeLifeEnv(EnvConfig(view_shape=(15, 15),
+                                       auto_reset=False))
+    state = env.reset_to_levels(bank, jnp.arange(n))
+    rng = np.random.RandomState(11)
+    key = jax.random.PRNGKey(3)
+    alive = np.ones(n, bool)
+    for t in range(40):
+        acts = rng.randint(0, 9, n)
+        rewards = np.zeros(n)
+        for i, g in enumerate(games):
+            if not alive[i]:
+                continue
+            pts0 = g.current_points()
+            r = g.execute_action(ACTION_NAMES[acts[i]])
+            g.advance_board()
+            g.update_exit_colors()
+            rewards[i] = r + g.current_points() - pts0
+        key, k = jax.random.split(key)
+        spawn = jnp.zeros(state.board.shape, bool)
+        state, ts = env.step(state, bank, jnp.asarray(acts), k,
+                             spawn_board=spawn, spawn_goals=spawn)
+        board = np.asarray(state.board)
+        for i, g in enumerate(games):
+            if not alive[i]:
+                continue
+            np.testing.assert_array_equal(
+                board[..., i], g.board,
+                err_msg=f"level '{lvls[i]['name']}' diverged at step {t} "
+                        f"(action {ACTION_NAMES[acts[i]]})")
+            assert float(ts.reward[i]) == rewards[i], (
+                lvls[i]["name"], t, ACTION_NAMES[acts[i]])
+            assert bool(ts.state_before_reset.game_over[i]) == g.game_over
+            if g.game_over:
+                alive[i] = False
+    assert alive.sum() >= n // 2, "too many episodes ended to be meaningful"
+
+
 def test_serialize_roundtrip(tmp_path):
     game = load_game(index=3)
     game.execute_action("MOVE RIGHT")
