@@ -23,4 +23,6 @@ for seed in 0 1 2; do run prune-still-hard $seed 6e6;  done
 for seed in 1 2; do run append-spawn $seed 10e6; done
 for seed in 1 2; do run prune-spawn  $seed 6e6;  done
 for seed in 1 2; do run navigation   $seed 6e6;  done
+# Refresh the RESULTS.md tables from all run logs (review + commit by hand).
+python scripts/summarize_runs.py /root/runs RESULTS.md
 echo SWEEP_R3_DONE
