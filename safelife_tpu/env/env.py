@@ -52,6 +52,11 @@ class EnvConfig:
     # VMEM residency (in-kernel transpose) instead of transposing the
     # (vh, vw, B) view in HBM afterwards.
     obs_transposed: bool = False
+    # Run the agent action inside the advance kernel (single-kernel step)
+    # instead of a separate action kernel: the post-action board never
+    # round-trips HBM.  Bit-identical to the two-kernel path (tested);
+    # default off until the on-chip timing decides.
+    merge_kernels: bool = False
     # Force the fused Pallas path in interpret mode (TPU emulation on any
     # backend) — CI uses this to test the kernels bit-for-bit on CPU.
     pallas_interpret: bool = False
@@ -264,7 +269,8 @@ class BatchedSafeLifeEnv:
                 exit_row=state.exit_row, exit_col=state.exit_col,
                 exit_valid=state.exit_valid, exit_gcol=state.exit_gcol,
                 remove_white_goals=cfg.remove_white_goals,
-                obs_transposed=cfg.obs_transposed)
+                obs_transposed=cfg.obs_transposed,
+                merge_action=cfg.merge_kernels)
             (board, goals, agent_row, agent_col, orientation, exited,
              points, comp1, poss1, ce1, effect_count) = out[:11]
             if cfg.auto_reset:

@@ -3,7 +3,11 @@
 a) barrel roll (per-lane recentering) on int32 vs uint16 blocks — u16
    packs 2 elements per VPU lane IF Mosaic legalizes the rolls/selects;
 b) in-kernel (vh*vw, L) transpose cost (the obs_transposed flag);
-c) end-to-end step with obs_transposed on vs off.
+c) 3x3 torus neighbor-sum stencil at i32 vs u16 vs u8 element width —
+   does narrow arithmetic raise element density per VPU pass, and does
+   4 x u8 planes beat 1 x packed-i32 (field extraction for free)?
+d) end-to-end step with obs_transposed on vs off, and with the
+   single-kernel merged step (EnvConfig.merge_kernels) on vs off.
 """
 import time
 
@@ -104,12 +108,48 @@ def make_transpose_kernel(dtype):
     return run
 
 
+def make_nbsum_kernel(dtype, planes=1):
+    """3x3 torus neighbor sum (the CA advance's count stencil: 4 rolls +
+    4 adds) over ``planes`` separate arrays of the given element width."""
+    def kernel(x_ref, out_ref):
+        acc = None
+        for p in range(planes):
+            x = x_ref[:].astype(dtype) + jnp.asarray(p, dtype)
+            r = x + pltpu.roll(x, 1, 1) + pltpu.roll(x, W - 1, 1)
+            s = r + pltpu.roll(r, 1, 0) + pltpu.roll(r, H - 1, 0)
+            acc = s if acc is None else acc + s
+        out_ref[:] = acc.astype(jnp.uint16)
+
+    @jax.jit
+    def run(x):
+        spec = pl.BlockSpec((H, W, LANES), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+        def body(x, _):
+            v = pl.pallas_call(
+                kernel, grid=(B // LANES,),
+                in_specs=[spec], out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((H, W, B), jnp.uint16),
+            )(x)
+            return v, 0
+        x, _ = jax.lax.scan(body, x, length=STEPS)
+        return x
+    return run
+
+
 def main():
     key = jax.random.PRNGKey(0)
     x = jax.random.randint(key, (H, W, B), 0, 2**15).astype(jnp.uint16)
     si = jax.random.randint(key, (2, B), 0, H).astype(jnp.int32)
     timeit("barrel roll i32", make_roll_kernel(jnp.int32), x, si)
     timeit("barrel roll u16", make_roll_kernel(jnp.uint16), x, si)
+
+    xs = (x & 15).astype(jnp.uint16)  # small values: no u8 overflow
+    timeit("nb_sum i32 x1", make_nbsum_kernel(jnp.int32), xs)
+    timeit("nb_sum i32 x4", make_nbsum_kernel(jnp.int32, planes=4), xs)
+    timeit("nb_sum u16 x1", make_nbsum_kernel(jnp.uint16), xs)
+    timeit("nb_sum u8  x1", make_nbsum_kernel(jnp.uint8), xs)
+    timeit("nb_sum u8  x4", make_nbsum_kernel(jnp.uint8, planes=4), xs)
 
     v = jax.random.randint(key, (VH, VW, B), 0, 2**15).astype(jnp.uint16)
     timeit("in-kernel transpose i32", make_transpose_kernel(jnp.int32), v)
@@ -134,6 +174,11 @@ def main():
         ("step obs default", EnvConfig(view_shape=(15, 15))),
         ("step obs_transposed", EnvConfig(view_shape=(15, 15),
                                           obs_transposed=True)),
+        ("step merge_kernels", EnvConfig(view_shape=(15, 15),
+                                         merge_kernels=True)),
+        ("step merged+transposed", EnvConfig(view_shape=(15, 15),
+                                             merge_kernels=True,
+                                             obs_transposed=True)),
     ]:
         env = BatchedSafeLifeEnv(cfg)
         key = jax.random.PRNGKey(0)
