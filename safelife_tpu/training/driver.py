@@ -410,6 +410,25 @@ class Trainer:
         return wrapped
 
 
+def _restore_step(ckpt_root, step):
+    """Device-agnostic orbax restore of one checkpoint step.
+
+    Loads every leaf onto the current default device with an explicit
+    sharding instead of the recorded one — a checkpoint written during
+    TPU training must be loadable by a CPU eval/analysis process (the
+    recorded sharding names devices that don't exist there)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(ckpt_root, str(step), "default")
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(path).item_metadata
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    restore_args = jax.tree.map(
+        lambda _: ocp.ArrayRestoreArgs(sharding=sharding), tree)
+    return ckptr.restore(
+        path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+
+
 def load_policy(logdir):
     """Rebuild a sampling policy from a training logdir.
 
@@ -423,12 +442,12 @@ def load_policy(logdir):
         run_cfg = json.load(fh)
     net = SafeLifeCNN(num_actions=run_cfg.get("num_actions", 9),
                       n_gamma=run_cfg.get("n_gamma", 1))
-    mgr = ocp.CheckpointManager(
-        os.path.abspath(os.path.join(logdir, "checkpoints")))
+    ckpt_root = os.path.abspath(os.path.join(logdir, "checkpoints"))
+    mgr = ocp.CheckpointManager(ckpt_root)
     step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {logdir}")
-    payload = mgr.restore(step)
+    payload = _restore_step(ckpt_root, step)
     params = payload["train_state"]["params"]["net"]
 
     @jax.jit
