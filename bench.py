@@ -217,6 +217,10 @@ def main():
     wait_for_device()
     bank = load_benchmark_bank()
     if os.environ.get("BENCH_SELFTEST", "1") != "0":
+        # Host-golden integrity first (catches a chip that computes wrong
+        # values at full speed), then the fused-vs-XLA rollout selftest.
+        from safelife_tpu.utils.integrity import check_device_integrity
+        check_device_integrity()
         selftest(bank)
 
     steps_per_s, state = time_env(bank, BATCH, STEPS)

@@ -80,6 +80,9 @@ def main(argv=None):
     p.add_argument("--side-effects", type=int, default=0,
                    help="side-effect sample count (0 = skip)")
 
+    sub.add_parser("selftest",
+                   help="verify the accelerator against host goldens")
+
     args = parser.parse_args(argv)
     return COMMANDS[args.cmd](args)
 
@@ -172,6 +175,15 @@ def cmd_gen_benchmarks(args):
         print(out)
 
 
+def cmd_selftest(args):
+    import jax
+    from .utils.integrity import check_device_integrity
+    check_device_integrity()
+    print(f"integrity OK on {jax.devices()[0].device_kind}: CA advance, "
+          "scoring chains, side-effect count and MXU matmul all match "
+          "host goldens")
+
+
 COMMANDS = {
     "play": cmd_play,
     "print": cmd_print,
@@ -180,6 +192,7 @@ COMMANDS = {
     "train": cmd_train,
     "bench": cmd_bench,
     "gen-benchmarks": cmd_gen_benchmarks,
+    "selftest": cmd_selftest,
 }
 
 

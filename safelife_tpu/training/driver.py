@@ -26,6 +26,7 @@ import numpy as np
 from ..env.env import BatchedSafeLifeEnv, EnvConfig
 from ..env import wrappers as W
 from ..levels import loader
+from ..utils.integrity import check_device_integrity
 from ..metrics.logging import (
     EpisodeLogger, log_training_metrics, make_summary_writer)
 from .model import SafeLifeCNN
@@ -229,6 +230,12 @@ class Trainer:
         t0 = time.time()
         last_steps, last_t = self.global_step(), t0
 
+        # Golden self-check of the device compute path before any training
+        # signal is trusted; repeated at every checkpoint/eval and at the
+        # end (utils/integrity.py — a degrading remote TPU once returned
+        # all-zero scores at full speed, fabricating perfect prune runs).
+        check_device_integrity()
+
         # Ops-level crash-resume marker (reference start-training:53-66:
         # active_job.txt lets a restarted box resume its run).
         marker = None
@@ -279,6 +286,7 @@ class Trainer:
 
         self.save_checkpoint()
         self.evaluate()  # final frozen-suite numbers
+        check_device_integrity()  # a corrupted run must not finish quietly
         if marker and os.path.exists(marker):
             os.remove(marker)  # clean exit: no restart needed
         if self.writer:
@@ -353,6 +361,7 @@ class Trainer:
         if self.cfg.eval_suite is None:
             return None
         from ..benchmarking import run_benchmark, summarize
+        check_device_integrity()  # don't log numbers a sick chip fabricated
         step = self.global_step()
         results = run_benchmark(
             self.cfg.eval_suite, self.policy_fn(),
