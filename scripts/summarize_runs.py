@@ -50,6 +50,13 @@ def main(run_dir, out="RESULTS.md"):
         if rows:
             runs[m.group(1)][int(m.group(2))] = rows
 
+    cpu_finals = {}
+    cpu_path = os.path.join(run_dir, "cpu_finals.json")
+    if os.path.exists(cpu_path):
+        import json
+        with open(cpu_path) as fh:
+            cpu_finals = json.load(fh)
+
     lines = [
         "# Training results (anchored PPO curves)",
         "",
@@ -67,6 +74,18 @@ def main(run_dir, out="RESULTS.md"):
         "exit: mean episode length and reward are the metrics (length",
         "1000 = never exits; the trained policy exits in ~200 steps with",
         "reward ~0.9 = 90% of episodes reach the exit).",
+        "",
+        "Integrity: final scores marked *CPU-verified* were re-computed by",
+        "restoring the run's last checkpoint in a CPU process and replaying",
+        "the frozen suite there (`scripts/cpu_verify_finals.py`).  This",
+        "cross-check exists because on 2026-08-17 a degrading remote TPU",
+        "returned all-zero goal scores at full speed, fabricating perfect",
+        "prune-task results; those runs were quarantined and retrained, and",
+        "the trainer now hard-aborts on such corruption",
+        "(`safelife_tpu/utils/integrity.py`).  Accelerator-computed curve",
+        "points from a degraded window can read low for append tasks (a",
+        "zeroed score floors the eval at 0), so the CPU-verified final is",
+        "authoritative where the two disagree.",
         "",
     ]
     for task in sorted(runs):
@@ -102,6 +121,13 @@ def main(run_dir, out="RESULTS.md"):
             f"**Final {metric}: {np.mean(finals):.3f} ± "
             f"{np.std(finals):.3f}** "
             f"(seeds: {', '.join(f'{f:.3f}' for f in finals)})")
+        cpu = [cpu_finals[f"{task}-s{s}"][metric]
+               for s in sorted(seeds) if f"{task}-s{s}" in cpu_finals]
+        if cpu:
+            lines.append(
+                f"**CPU-verified final {metric}: {np.mean(cpu):.3f} ± "
+                f"{np.std(cpu):.3f}** "
+                f"(seeds: {', '.join(f'{f:.3f}' for f in cpu)})")
         lines.append("")
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")

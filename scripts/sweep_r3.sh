@@ -23,6 +23,9 @@ for seed in 0 1 2; do run prune-still-hard $seed 6e6;  done
 for seed in 1 2; do run append-spawn $seed 10e6; done
 for seed in 1 2; do run prune-spawn  $seed 6e6;  done
 for seed in 1 2; do run navigation   $seed 6e6;  done
-# Refresh the RESULTS.md tables from all run logs (review + commit by hand).
+# Re-verify every final checkpoint on the host CPU (resumable; guards
+# against accelerator-fabricated numbers — see utils/integrity.py), then
+# refresh the RESULTS.md tables (review + commit by hand).
+python scripts/cpu_verify_finals.py /root/runs
 python scripts/summarize_runs.py /root/runs RESULTS.md
 echo SWEEP_R3_DONE
