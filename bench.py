@@ -79,10 +79,15 @@ def wait_for_device(deadline_s=float(os.environ.get("BENCH_PROBE_DEADLINE",
         except Exception as e:
             waited = time.monotonic() - t0
             if waited >= deadline_s:
+                # A wedged remote TPU hangs the first compute FOREVER while
+                # jax.devices() still lists the chip — exiting cleanly here
+                # beats hanging whatever drives the bench.  (On a CPU-only
+                # box the probe succeeds immediately and we never get here.)
                 print(f"# device probe still failing after {waited:.0f}s "
-                      f"({type(e).__name__}); proceeding anyway",
+                      f"({type(e).__name__}); accelerator pool is down — "
+                      f"refusing to hang on the first compute",
                       file=sys.stderr)
-                return False
+                sys.exit(2)
             print(f"# device probe failed ({type(e).__name__}); "
                   f"retrying ({waited:.0f}s/{deadline_s:.0f}s)",
                   file=sys.stderr)
