@@ -25,6 +25,27 @@ def tiny_trainer(tmpdir=None, **kw):
     return Trainer(tc, pc, bank=bank)
 
 
+def test_train_aborts_on_corrupted_device(monkeypatch):
+    """The integrity guard is wired into the train loop: a device that
+    returns wrong values must abort training before any signal is
+    trusted (see utils/integrity.py for the incident this encodes)."""
+    import pytest
+
+    from safelife_tpu.utils import integrity
+
+    real = integrity._device_outputs
+
+    def corrupted(*args):
+        out = dict(real(*args))
+        out["points"] = out["points"] * 0
+        return out
+
+    monkeypatch.setattr(integrity, "_device_outputs", corrupted)
+    tr = tiny_trainer()
+    with pytest.raises(integrity.DeviceIntegrityError):
+        tr.train(total_steps=100)
+
+
 def test_train_loop_runs_and_logs(tmp_path):
     tr = tiny_trainer(tmp_path)
     seen = []
