@@ -128,19 +128,23 @@ def selftest(bank):
         return
     b = 256
     # 1. Multi-episode rollout equivalence on spawner-free levels (the
-    #    spawn draw is masked out, so both paths are deterministic).
+    #    spawn draw is masked out, so both paths are deterministic) —
+    #    both the auto-reset fold kernel (training) and the no-reset
+    #    kernel (lane-padded benchmark evals).
     assert not (np.asarray(bank.board) & C.SPAWNING).any()
     actions = np.random.RandomState(9).randint(0, 9, (12, b))
-    cfg = dict(time_limit=6, auto_reset=True)
-    tr_fused = _rollout_trace(
-        BatchedSafeLifeEnv(EnvConfig(**cfg)), bank, actions, b)
-    tr_xla = _rollout_trace(
-        BatchedSafeLifeEnv(EnvConfig(use_pallas=False, **cfg)),
-        bank, actions, b)
-    for t, (a, x) in enumerate(zip(tr_fused, tr_xla)):
-        for k in a:
-            np.testing.assert_array_equal(
-                a[k], x[k], err_msg=f"fused!=xla at step {t}, field {k}")
+    for cfg in (dict(time_limit=6, auto_reset=True),
+                dict(time_limit=20, auto_reset=False)):
+        tr_fused = _rollout_trace(
+            BatchedSafeLifeEnv(EnvConfig(**cfg)), bank, actions, b)
+        tr_xla = _rollout_trace(
+            BatchedSafeLifeEnv(EnvConfig(use_pallas=False, **cfg)),
+            bank, actions, b)
+        for t, (a, x) in enumerate(zip(tr_fused, tr_xla)):
+            for k in a:
+                np.testing.assert_array_equal(
+                    a[k], x[k],
+                    err_msg=f"fused!=xla at step {t}, field {k}, cfg {cfg}")
 
     # 2. In-core PRNG: seed-deterministic, seed-sensitive, correct rate.
     h = w = 8

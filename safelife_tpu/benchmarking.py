@@ -61,7 +61,7 @@ def _run_chunk(env, policy, raw_policy, chunk, params, bank, state, obs,
 
 def run_benchmark(benchmark_name, policy, logfile=None, key=None,
                   view_shape=(25, 25), time_limit=1000, chunk=64,
-                  side_effect_samples=0):
+                  side_effect_samples=0, pad_to_lanes=None):
     """Run ``policy(obs, key) -> actions`` over every level of a suite.
 
     benchmark_name: suite name (e.g. "append-still"), a path, or a
@@ -73,6 +73,14 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
     is invoked as ``raw(params, obs, key)`` with params traced, so
     repeated in-training evals reuse the compiled program instead of
     baking the weights in as constants.
+
+    ``pad_to_lanes`` tiles the level batch up to a multiple of the TPU
+    lane width (128) so the eval rides the fused Pallas step instead of
+    falling off the fast path at a 100-level suite size; padding lanes
+    replay real levels and are dropped from the results.  Default: pad
+    exactly when the fused path is available (a TPU backend) — per-level
+    env semantics are batch-size-independent, so results only differ
+    through the policy's batched random draws.
     """
     if isinstance(benchmark_name, str):
         path = benchmark_name if os.sep in benchmark_name or \
@@ -87,8 +95,12 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
     env = BatchedSafeLifeEnv(EnvConfig(
         view_shape=view_shape, time_limit=time_limit, auto_reset=False))
     n = bank.num_levels
+    if pad_to_lanes is None:
+        from .ops import life_pallas
+        pad_to_lanes = life_pallas.available()
+    b = -(-n // 128) * 128 if pad_to_lanes else n
     key = key if key is not None else jax.random.PRNGKey(0)
-    state = env.reset_to_levels(bank, jnp.arange(n))
+    state = env.reset_to_levels(bank, jnp.arange(b) % n)
     obs = env.observe(state)
 
     raw_policy = getattr(policy, "raw", None)
@@ -96,10 +108,10 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
     if raw_policy is not None:
         policy = None  # route through the params-traced path
 
-    rec = dict(done=jnp.zeros(n, bool), length=jnp.zeros(n, jnp.int32),
-               reward=jnp.zeros(n, jnp.float32),
-               completed=jnp.zeros(n, jnp.int32),
-               possible=jnp.zeros(n, jnp.int32))
+    rec = dict(done=jnp.zeros(b, bool), length=jnp.zeros(b, jnp.int32),
+               reward=jnp.zeros(b, jnp.float32),
+               completed=jnp.zeros(b, jnp.int32),
+               possible=jnp.zeros(b, jnp.int32))
     t0 = time.time()
     for _ in range(0, time_limit + chunk, chunk):
         state, obs, rec, key = _run_chunk(
@@ -107,7 +119,7 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
             policy_params, bank, state, obs, rec, key)
         if bool(rec["done"].all()):
             break
-    rec = jax.device_get(rec)
+    rec = {k: v[:n] for k, v in jax.device_get(rec).items()}
 
     results = {
         "name": names,
@@ -126,7 +138,7 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
             core.init_board, core.board, core.spawn_prob,
             core.episode_length, key, num_samples=side_effect_samples,
             catch_up_steps=time_limit)
-        sc, ms = np.asarray(scores), np.asarray(mass)
+        sc, ms = np.asarray(scores)[:, :n], np.asarray(mass)[:, :n]
         results["side_effects"] = sc.sum(axis=0)
         results["side_effect_mass"] = ms.sum(axis=0)
         # Per-cell-type structure, the form the reference reports and the

@@ -24,6 +24,26 @@ def test_run_benchmark_random_policy(tmp_path):
     assert "mean_perf" in B.summarize(results)
 
 
+def test_lane_padding_preserves_per_level_results():
+    """pad_to_lanes tiles the suite up to a 128-lane batch (so TPU evals
+    ride the fused step); the padding must not change any real level's
+    outcome.  A batch-independent policy makes the runs comparable."""
+    import jax.numpy as jnp
+
+    bank = synth.synth_bank(5, h=10, w=10)
+
+    def policy(obs, key):  # deterministic, batch-size independent
+        return jnp.full((obs.shape[0],), 3, jnp.int32)
+
+    base = B.run_benchmark(bank, policy, view_shape=(9, 9), time_limit=20,
+                           chunk=8, pad_to_lanes=False)
+    padded = B.run_benchmark(bank, policy, view_shape=(9, 9), time_limit=20,
+                             chunk=8, pad_to_lanes=True)
+    for k in ("length", "reward", "completed", "possible", "performance"):
+        np.testing.assert_array_equal(base[k], padded[k], err_msg=k)
+        assert len(padded[k]) == 5
+
+
 def test_run_benchmark_with_side_effects():
     bank = synth.synth_bank(4, h=10, w=10)
     results = B.run_benchmark(
