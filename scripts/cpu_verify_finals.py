@@ -44,7 +44,8 @@ def main(run_dir):
             continue
         if run in finals:
             continue
-        task = m.group(1)
+        # "<task>+penalty<p>-sN" runs evaluate on the base task's suite.
+        task = m.group(1).split("+")[0]
         try:
             policy, view = load_policy(logdir)
             res = run_benchmark(task, policy, view_shape=view)
