@@ -376,11 +376,13 @@ def test_env_step_fused_equals_xla(suite, view):
                 a[k], b[k], err_msg=f"step {t}, field {k}")
 
 
-@pytest.mark.parametrize("suite", [
-    "benchmarks/v1.0/append-still",   # static goals, spawnless
-    "benchmarks/v1.0/append-dynamic",  # simple-goals advance, spawnless
+@pytest.mark.parametrize("suite,transposed", [
+    ("benchmarks/v1.0/append-still", False),   # static goals, spawnless
+    ("benchmarks/v1.0/append-dynamic", False),  # simple-goals advance
+    # the merged + in-kernel-transposed combination (candidate default)
+    ("benchmarks/v1.0/append-still", True),
 ])
-def test_env_step_merged_kernel(suite):
+def test_env_step_merged_kernel(suite, transposed):
     """merge_kernels=True (action folded into the advance kernel, no
     intermediate board HBM round-trip) must be bit-identical to the
     two-kernel fused path over a multi-episode rollout."""
@@ -391,7 +393,8 @@ def test_env_step_merged_kernel(suite):
                pallas_interpret=True)
     split = _rollout(BatchedSafeLifeEnv(EnvConfig(**cfg)), bank, actions)
     merged = _rollout(
-        BatchedSafeLifeEnv(EnvConfig(merge_kernels=True, **cfg)),
+        BatchedSafeLifeEnv(EnvConfig(merge_kernels=True,
+                                     obs_transposed=transposed, **cfg)),
         bank, actions)
     for t, (a, b) in enumerate(zip(split, merged)):
         for k in a:
