@@ -27,6 +27,7 @@ reference):
 """
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
@@ -207,6 +208,28 @@ def compute_gae(cfg: PPOConfig, reward, done, value):
 # Losses — reference ppo.py:242-305
 # ---------------------------------------------------------------------------
 
+def _unroll_updates():
+    """Unroll the epoch/minibatch scans on the CPU backend.
+
+    XLA:CPU lowers *backward* convolutions inside scan/while bodies to a
+    naive thunk: the identical conv gradient measured 1.06s direct vs
+    116.7s inside ``lax.scan`` (B=1280, 33x33x15 obs, this host).  Fully
+    unrolling the update loops lets the while-loop simplifier hoist the
+    convs back onto the fast path — 43x faster CPU training batches
+    (167s -> 3.9s at 64 envs).  On TPU the rolled scan compiles leaner
+    and runs identically, so keep it there.
+
+    ``SAFELIFE_UNROLL_UPDATES=0/1`` overrides — the HLO scaling analysis
+    traces on a CPU mesh as a proxy for the TPU lowering and must see
+    the rolled form (an unrolled graph repeats the gradient all-reduce
+    instruction per minibatch, inflating the static collective count).
+    """
+    env = os.environ.get("SAFELIFE_UNROLL_UPDATES")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "cpu"
+
+
 def _rectifier(name):
     if name == "relu":
         return lambda x, eps: jnp.maximum(x, -eps)
@@ -358,11 +381,12 @@ class PPO:
                 return (params, opt_state), metrics
 
             return jax.lax.scan(one_minibatch, (params, opt_state),
-                                jnp.arange(n_mb))
+                                jnp.arange(n_mb), unroll=_unroll_updates())
 
         keys = jax.random.split(k_perm, cfg.epochs_per_batch)
         (params, opt_state), metrics = jax.lax.scan(
-            one_epoch, (train_state.params, train_state.opt_state), keys)
+            one_epoch, (train_state.params, train_state.opt_state), keys,
+            unroll=_unroll_updates())
         metrics = jax.tree.map(lambda x: x[-1, -1], metrics)
         metrics.update(
             mean_reward=traj.reward.mean(),
@@ -573,11 +597,12 @@ class RecurrentPPO(PPO):
                 return (params, opt_state), metrics
 
             return jax.lax.scan(one_minibatch, (params, opt_state),
-                                jnp.arange(n_mb))
+                                jnp.arange(n_mb), unroll=_unroll_updates())
 
         keys = jax.random.split(k_perm, cfg.epochs_per_batch)
         (params, opt_state), metrics = jax.lax.scan(
-            one_epoch, (train_state.params, train_state.opt_state), keys)
+            one_epoch, (train_state.params, train_state.opt_state), keys,
+            unroll=_unroll_updates())
         metrics = jax.tree.map(lambda x: x[-1, -1], metrics)
         metrics.update(mean_reward=traj.reward.mean(), episodes=epstats)
         train_state = TrainState(params=params, opt_state=opt_state,

@@ -43,6 +43,32 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def _tpu_lowering():
+    """Trace with the TPU's loop structure on this CPU proxy mesh.
+
+    The PPO update scans unroll on the CPU backend (XLA:CPU backward-conv
+    workaround, see training/ppo.py:_unroll_updates) — but an unrolled
+    graph repeats the gradient all-reduce instruction per minibatch,
+    which would inflate the static collective profile 12x vs what the
+    rolled TPU program moves per executed update.  Pin the rolled form
+    while lowering here.  (Set BEFORE the first trace of these shapes:
+    jit caches by shapes/statics, not env vars.)
+    """
+    old = os.environ.get("SAFELIFE_UNROLL_UPDATES")
+    os.environ["SAFELIFE_UNROLL_UPDATES"] = "0"
+    try:
+        yield
+    finally:
+        if old is None:
+            del os.environ["SAFELIFE_UNROLL_UPDATES"]
+        else:
+            os.environ["SAFELIFE_UNROLL_UPDATES"] = old
+
+
 def build(n_devices, envs_per_device=32):
     from safelife_tpu.env.env import BatchedSafeLifeEnv, EnvConfig
     from safelife_tpu.levels import synth
@@ -70,9 +96,10 @@ def build(n_devices, envs_per_device=32):
         train_state = pmesh.replicate(mesh, train_state)
         k_train = pmesh.replicate(mesh, k_train)
         ppo = PPO(cfg, net, env)
-        lowered = ppo.train_batch.lower(
-            ppo, train_state, state, obs, bank, k_train)
-        compiled = lowered.compile()
+        with _tpu_lowering():
+            lowered = ppo.train_batch.lower(
+                ppo, train_state, state, obs, bank, k_train)
+            compiled = lowered.compile()
     n_params = sum(x.size for x in jax.tree.leaves(train_state.params))
     return compiled, n_params
 
@@ -114,9 +141,10 @@ def build_recurrent(n_devices, envs_per_device=32):
         carry = pmesh.shard_batch_leading(mesh, carry)
         train_state = pmesh.replicate(mesh, train_state)
         k_train = pmesh.replicate(mesh, k_train)
-        lowered = ppo.train_batch.lower(
-            ppo, train_state, state, obs, carry, bank, k_train)
-        compiled = lowered.compile()
+        with _tpu_lowering():
+            lowered = ppo.train_batch.lower(
+                ppo, train_state, state, obs, carry, bank, k_train)
+            compiled = lowered.compile()
     n_params = sum(x.size for x in jax.tree.leaves(train_state.params))
     return compiled, n_params
 
