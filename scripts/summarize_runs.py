@@ -75,6 +75,13 @@ def main(run_dir, out="RESULTS.md"):
         "1000 = never exits; the trained policy exits in ~200 steps with",
         "reward ~0.9 = 90% of episodes reach the exit).",
         "",
+        "Prune-task performance counts red-cell removal only (losses of",
+        "green life do not subtract — green scores 0 on empty goals), so",
+        "an unpenalized policy can reach high prune-dynamic performance by",
+        "destabilizing patterns indiscriminately; read those numbers",
+        "together with the side-effects column, and compare the",
+        "`+penalty` runs where the impact penalty is on.",
+        "",
         "Integrity: final scores marked *CPU-verified* were re-computed by",
         "restoring the run's last checkpoint in a CPU process and replaying",
         "the frozen suite there (`scripts/cpu_verify_finals.py`).  This",
