@@ -27,17 +27,19 @@ LANES = 128
 
 
 def timeit(name, fn, *args):
+    # flush per line: the pipeline runs this under a hard `timeout`, and
+    # block-buffered output would vanish if the run is cut short.
     try:
         out = jax.block_until_ready(fn(*args))
     except Exception as e:
-        print(f"{name:42s} FAILED: {str(e)[:100]}")
+        print(f"{name:42s} FAILED: {str(e)[:100]}", flush=True)
         return None
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         out = jax.block_until_ready(fn(*args))
         best = min(best, time.perf_counter() - t0)
-    print(f"{name:42s} {best/STEPS*1e6:9.1f} us/step")
+    print(f"{name:42s} {best/STEPS*1e6:9.1f} us/step", flush=True)
     return out
 
 
