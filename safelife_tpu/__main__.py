@@ -64,6 +64,9 @@ def main(argv=None):
     p.add_argument("--min-performance", type=float, default=0.01)
     p.add_argument("--view", type=int, default=33)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--algo", choices=("cnn", "lstm"), default="cnn",
+                   help="policy: feedforward CNN (default) or the "
+                        "recurrent CNN+LSTM trained with RecurrentPPO")
 
     p = sub.add_parser("gen-benchmarks",
                        help="generate frozen benchmark level archives")
@@ -136,7 +139,8 @@ def cmd_train(args):
         trainer, total = make_curriculum_trainer(
             args.task, impact_penalty=args.impact_penalty,
             logdir=args.logdir, num_envs=args.num_envs, seed=args.seed,
-            view_shape=(args.view, args.view))
+            view_shape=(args.view, args.view),
+            recurrent=(args.algo == "lstm"))
         trainer.restore_checkpoint()
         trainer.train(min(total, int(args.steps)) if args.steps else None)
         return
@@ -145,7 +149,8 @@ def cmd_train(args):
         view_shape=(args.view, args.view),
         impact_penalty=args.impact_penalty,
         min_performance=args.min_performance,
-        seed=args.seed, logdir=args.logdir)
+        seed=args.seed, logdir=args.logdir,
+        recurrent=(args.algo == "lstm"))
     trainer = Trainer(cfg, PPOConfig(), level_paths=tuple(args.levels))
     trainer.restore_checkpoint()
     trainer.train()

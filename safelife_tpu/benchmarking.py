@@ -27,21 +27,30 @@ def random_policy(num_actions=9):
     return policy
 
 
-@partial(jax.jit, static_argnames=("env", "policy", "raw_policy", "chunk"))
+@partial(jax.jit,
+         static_argnames=("env", "policy", "raw_policy", "chunk",
+                          "recurrent"))
 def _run_chunk(env, policy, raw_policy, chunk, params, bank, state, obs,
-               rec, key):
+               rec, key, rnn_carry=None, recurrent=False):
     """One ``chunk``-step scan of a suite evaluation.
 
     Module-level with the env/policy as STATIC and the weights/bank as
     traced arguments, so repeated in-training evals (Trainer.evaluate at
     every checkpoint) hit the jit cache instead of recompiling — envs
     hash by config, and a Trainer's ``raw_policy`` is a stable cached
-    function."""
+    function.  With ``recurrent=True`` the raw policy is invoked as
+    ``raw(params, obs, rnn_carry, key) -> (action, rnn_carry)`` and the
+    RNN state is threaded through the scan (eval suites don't auto-reset,
+    so no per-episode carry masking is needed)."""
     def body(carry, _):
-        state, obs, rec, key = carry
+        state, obs, rec, key, rnn = carry
         key, k_act, k_env = jax.random.split(key, 3)
-        action = policy(obs, k_act) if raw_policy is None \
-            else raw_policy(params, obs, k_act)
+        if recurrent:
+            action, rnn = raw_policy(params, obs, rnn, k_act)
+        elif raw_policy is not None:
+            action = raw_policy(params, obs, k_act)
+        else:
+            action = policy(obs, k_act)
         state, ts = env.step(state, bank, action, k_env)
         newly = ts.done & ~rec["done"]
         rec = dict(
@@ -52,11 +61,11 @@ def _run_chunk(env, policy, raw_policy, chunk, params, bank, state, obs,
                                 rec["completed"]),
             possible=jnp.where(newly, ts.perf_possible, rec["possible"]),
         )
-        return (state, ts.obs, rec, key), None
+        return (state, ts.obs, rec, key, rnn), None
 
-    (state, obs, rec, key), _ = jax.lax.scan(
-        body, (state, obs, rec, key), length=chunk)
-    return state, obs, rec, key
+    (state, obs, rec, key, rnn_carry), _ = jax.lax.scan(
+        body, (state, obs, rec, key, rnn_carry), length=chunk)
+    return state, obs, rec, key, rnn_carry
 
 
 def run_benchmark(benchmark_name, policy, logfile=None, key=None,
@@ -105,6 +114,8 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
 
     raw_policy = getattr(policy, "raw", None)
     policy_params = getattr(policy, "params", None)
+    recurrent = bool(getattr(policy, "recurrent", False))
+    rnn_carry = policy.init_carry(b) if recurrent else None
     if raw_policy is not None:
         policy = None  # route through the params-traced path
 
@@ -114,9 +125,10 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
                possible=jnp.zeros(b, jnp.int32))
     t0 = time.time()
     for _ in range(0, time_limit + chunk, chunk):
-        state, obs, rec, key = _run_chunk(
+        state, obs, rec, key, rnn_carry = _run_chunk(
             env, policy, raw_policy, chunk,
-            policy_params, bank, state, obs, rec, key)
+            policy_params, bank, state, obs, rec, key,
+            rnn_carry=rnn_carry, recurrent=recurrent)
         if bool(rec["done"].all()):
             break
     rec = {k: v[:n] for k, v in jax.device_get(rec).items()}

@@ -31,22 +31,29 @@ def record_episode(env, bank, policy, key, level_idx=0, max_steps=1000):
 
     raw_policy = getattr(policy, "raw", None)
     params = getattr(policy, "params", None)
+    recurrent = bool(getattr(policy, "recurrent", False))
+    rnn0 = policy.init_carry(1) if recurrent else None
     state0 = env.reset_to_levels(bank, jnp.asarray([level_idx], jnp.int32))
     obs0 = env.observe(unwrap(state0))
 
     @jax.jit
     def run(params, state, obs, key):
         def body(carry, _):
-            state, obs, key = carry
+            state, obs, key, rnn = carry
             core = unwrap(state)
             key, k_act, k_env = jax.random.split(key, 3)
-            action = policy(obs, k_act) if raw_policy is None \
-                else raw_policy(params, obs, k_act)
+            if recurrent:
+                action, rnn = raw_policy(params, obs, rnn, k_act)
+            elif raw_policy is not None:
+                action = raw_policy(params, obs, k_act)
+            else:
+                action = policy(obs, k_act)
             new_state, ts = env.step(state, bank, action, k_env)
             frame = (core.board[..., 0], core.goals[..., 0],
                      core.orientation[0], ts.reward[0], ts.done[0])
-            return (new_state, ts.obs, key), frame
-        _, frames = jax.lax.scan(body, (state, obs, key), length=max_steps)
+            return (new_state, ts.obs, key, rnn), frame
+        _, frames = jax.lax.scan(body, (state, obs, key, rnn0),
+                                 length=max_steps)
         return frames
 
     boards, goals, orients, rewards, dones = jax.device_get(

@@ -59,6 +59,11 @@ class TrainerConfig:
     # steps from the current bank factory (0 = fixed bank).  Generation
     # runs on a background thread; the swap happens between batches.
     fresh_levels_every: int = 0
+    # Recurrent policy: CNN trunk + LSTM core trained with RecurrentPPO
+    # (whole-env minibatches), the reference's optional LSTM path
+    # (safelife_ppo.py:168-189).  The LSTM carry is threaded through
+    # rollouts and reset at episode ends / bank switches / restores.
+    recurrent: bool = False
 
 
 def _fetch(tree):
@@ -100,8 +105,18 @@ class Trainer:
         self._refresher = None            # background bank-regen thread
         self.level_names = level_names
         self.env = env if env is not None else make_training_env(trainer_cfg)
-        self.net = net or SafeLifeCNN(num_actions=9, n_gamma=ppo_cfg.n_gamma)
-        self.ppo = PPO(ppo_cfg, self.net, self.env)
+        if trainer_cfg.recurrent:
+            from .model import SafeLifeLSTMNet
+            from .ppo import RecurrentPPO
+            self.net = net or SafeLifeLSTMNet(num_actions=9,
+                                              n_gamma=ppo_cfg.n_gamma)
+            self.ppo = RecurrentPPO(ppo_cfg, self.net, self.env)
+            self.carry = self.net.initial_carry(trainer_cfg.num_envs)
+        else:
+            self.net = net or SafeLifeCNN(num_actions=9,
+                                          n_gamma=ppo_cfg.n_gamma)
+            self.ppo = PPO(ppo_cfg, self.net, self.env)
+            self.carry = None
 
         key = jax.random.PRNGKey(trainer_cfg.seed)
         self.key, k_init, k_reset = jax.random.split(key, 3)
@@ -109,7 +124,8 @@ class Trainer:
             self.bank, trainer_cfg.num_envs, k_reset)
         self.obs = self.env.observe(self.env_state)
         self.train_state = init_train_state(
-            ppo_cfg, self.net, self.obs.shape[1:], k_init, self.ppo.tx)
+            ppo_cfg, self.net, self.obs.shape[1:], k_init, self.ppo.tx,
+            carry=self.carry)
 
         self.mesh = mesh
         self._shard_all()
@@ -139,6 +155,7 @@ class Trainer:
                 "n_gamma": self.ppo_cfg.n_gamma,
                 "num_actions": 9,
                 "time_limit": self.cfg.time_limit,
+                "recurrent": self.cfg.recurrent,
             }, fh)
 
     def _shard_all(self):
@@ -152,6 +169,8 @@ class Trainer:
         self.env_state, self.bank = pmesh.shard_env(
             self.mesh, self.env_state, self.bank)
         self.obs = pmesh.shard_batch_leading(self.mesh, self.obs)
+        if self.carry is not None:
+            self.carry = pmesh.shard_batch_leading(self.mesh, self.carry)
         self.train_state = pmesh.replicate(self.mesh, self.train_state)
         self.key = pmesh.replicate(self.mesh, self.key)
 
@@ -248,9 +267,15 @@ class Trainer:
         while self.global_step() < total:
             self._maybe_switch_bank()
             self.key, k = jax.random.split(self.key)
-            (self.train_state, self.env_state, self.obs, metrics) = \
-                self.ppo.train_batch(self.train_state, self.env_state,
-                                     self.obs, self.bank, k)
+            if self.carry is not None:
+                (self.train_state, self.env_state, self.obs, self.carry,
+                 metrics) = self.ppo.train_batch(
+                    self.train_state, self.env_state, self.obs, self.carry,
+                    self.bank, k)
+            else:
+                (self.train_state, self.env_state, self.obs, metrics) = \
+                    self.ppo.train_batch(self.train_state, self.env_state,
+                                         self.obs, self.bank, k)
             pending_eps.append(metrics.pop("episodes"))
             step = self.global_step()
 
@@ -309,6 +334,8 @@ class Trainer:
             self.env_state = self.env.reset_all(
                 self.bank, self.cfg.num_envs, k)
             self.obs = self.env.observe(self.env_state)
+            if self.carry is not None:  # fresh episodes: fresh RNN state
+                self.carry = self.net.initial_carry(self.cfg.num_envs)
             # reset_all zeroes the global counters; fold them into offset
             self._steps_offset = offset
             self._shard_all()
@@ -405,15 +432,25 @@ class Trainer:
         constants and force a full recompile at every checkpoint."""
         if not hasattr(self, "_policy_jit"):
             net = self.net
-
-            @jax.jit
-            def policy(params, obs, key):
-                logits, _ = net.apply(params, obs)
-                return jax.random.categorical(key, logits)
+            if self.cfg.recurrent:
+                @jax.jit
+                def policy(params, obs, carry, key):
+                    carry, (logits, _) = net.apply(params, obs, carry)
+                    return jax.random.categorical(key, logits), carry
+            else:
+                @jax.jit
+                def policy(params, obs, key):
+                    logits, _ = net.apply(params, obs)
+                    return jax.random.categorical(key, logits)
             self._policy_jit = policy
         jit = self._policy_jit
         params = self.train_state.params["net"]
-        wrapped = lambda obs, key: jit(params, obs, key)  # noqa: E731
+        if self.cfg.recurrent:
+            wrapped = lambda obs, carry, key: jit(params, obs, carry, key)  # noqa: E731
+            wrapped.recurrent = True
+            wrapped.init_carry = self.net.initial_carry
+        else:
+            wrapped = lambda obs, key: jit(params, obs, key)  # noqa: E731
         wrapped.params = params
         wrapped.raw = jit
         return wrapped
@@ -449,8 +486,14 @@ def load_policy(logdir):
 
     with open(os.path.join(logdir, "config.json")) as fh:
         run_cfg = json.load(fh)
-    net = SafeLifeCNN(num_actions=run_cfg.get("num_actions", 9),
-                      n_gamma=run_cfg.get("n_gamma", 1))
+    recurrent = run_cfg.get("recurrent", False)
+    if recurrent:
+        from .model import SafeLifeLSTMNet
+        net = SafeLifeLSTMNet(num_actions=run_cfg.get("num_actions", 9),
+                              n_gamma=run_cfg.get("n_gamma", 1))
+    else:
+        net = SafeLifeCNN(num_actions=run_cfg.get("num_actions", 9),
+                          n_gamma=run_cfg.get("n_gamma", 1))
     ckpt_root = os.path.abspath(os.path.join(logdir, "checkpoints"))
     mgr = ocp.CheckpointManager(ckpt_root)
     step = mgr.latest_step()
@@ -458,6 +501,19 @@ def load_policy(logdir):
         raise FileNotFoundError(f"no checkpoints under {logdir}")
     payload = _restore_step(ckpt_root, step)
     params = payload["train_state"]["params"]["net"]
+
+    if recurrent:
+        @jax.jit
+        def raw(params, obs, carry, key):
+            carry, (logits, _) = net.apply(params, obs, carry)
+            return jax.random.categorical(key, logits), carry
+
+        policy = lambda obs, carry, key: raw(params, obs, carry, key)  # noqa: E731
+        policy.recurrent = True
+        policy.init_carry = net.initial_carry
+        policy.raw = raw
+        policy.params = params
+        return policy, tuple(run_cfg["view_shape"])
 
     @jax.jit
     def policy(obs, key):

@@ -109,9 +109,14 @@ def make_optimizer(cfg: PPOConfig, lr=None):
     )
 
 
-def init_train_state(cfg: PPOConfig, net, obs_shape, key, tx=None):
+def init_train_state(cfg: PPOConfig, net, obs_shape, key, tx=None,
+                     carry=None):
     dummy = jnp.zeros((1,) + tuple(obs_shape), jnp.uint8)
-    net_params = net.init(key, dummy)
+    if carry is not None:  # recurrent net: init through (obs, carry)
+        dummy_carry = jax.tree.map(lambda x: x[:1], carry)
+        net_params = net.init(key, dummy, dummy_carry)
+    else:
+        net_params = net.init(key, dummy)
     params = {"net": net_params, "spe": jnp.float32(1.0)}
     tx = tx or make_optimizer(cfg)
     return TrainState(

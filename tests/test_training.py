@@ -241,3 +241,32 @@ def test_recurrent_ppo_smoke():
     after = jax.device_get(jax.tree.leaves(ts.params["net"])[0])
     assert np.isfinite(float(metrics["policy_loss"]))
     assert not np.array_equal(before, after), "params did not update"
+
+
+def test_recurrent_trainer_end_to_end(tmp_path):
+    """TrainerConfig(recurrent=True) drives the full loop: RecurrentPPO
+    batches, carry threading, checkpointing, the recurrent eval path
+    through benchmarking (carry threaded inside the jitted chunk scan),
+    and a load_policy round-trip from the written logdir."""
+    from safelife_tpu.benchmarking import run_benchmark
+    from safelife_tpu.training.driver import load_policy
+
+    bank = synth.synth_bank(4, h=13, w=13)
+    tc = TrainerConfig(
+        num_envs=8, total_steps=800, report_every=400, save_every=400,
+        view_shape=(17, 17), time_limit=20, logdir=str(tmp_path),
+        record_videos=True, eval_suite=bank, eval_side_effect_samples=0,
+        recurrent=True)
+    pc = PPOConfig(steps_per_env=8, num_minibatches=2, epochs_per_batch=1)
+    tr = Trainer(tc, pc, bank=bank)
+    tr.train(total_steps=500)
+    assert tr.global_step() >= 500
+    assert tr.carry is not None
+
+    # Policy restores as a recurrent policy and runs a suite eval.
+    policy, view = load_policy(str(tmp_path))
+    assert getattr(policy, "recurrent", False)
+    results = run_benchmark(bank, policy, view_shape=view, time_limit=20,
+                            chunk=10)
+    assert len(results["performance"]) == bank.num_levels
+    assert np.isfinite(results["reward"]).all()
