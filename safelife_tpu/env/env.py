@@ -48,10 +48,6 @@ class EnvConfig:
     can_toggle_colors: bool = False
     compute_obs: bool = True
     use_pallas: bool = True  # fused CA kernel on TPU (fast path only)
-    # Emit the packed obs view batch-leading straight from the kernel's
-    # VMEM residency (in-kernel transpose) instead of transposing the
-    # (vh, vw, B) view in HBM afterwards.
-    obs_transposed: bool = False
     # Run the agent action inside the advance kernel (single-kernel step)
     # instead of a separate action kernel: the post-action board never
     # round-trips HBM.  Bit-identical to the two-kernel path (tested);
@@ -269,7 +265,6 @@ class BatchedSafeLifeEnv:
                 exit_row=state.exit_row, exit_col=state.exit_col,
                 exit_valid=state.exit_valid, exit_gcol=state.exit_gcol,
                 remove_white_goals=cfg.remove_white_goals,
-                obs_transposed=cfg.obs_transposed,
                 merge_action=cfg.merge_kernels)
             (board, goals, agent_row, agent_col, orientation, exited,
              points, comp1, poss1, ce1, effect_count) = out[:11]
@@ -355,11 +350,7 @@ class BatchedSafeLifeEnv:
             )
 
         if packed_view is not None:
-            if cfg.obs_transposed:  # already (B, vh, vw)
-                obs = packed_view if cfg.output_channels is None else \
-                    obs_ops.unpack_channels_leading(
-                        packed_view, cfg.output_channels)
-            elif cfg.output_channels is not None:
+            if cfg.output_channels is not None:
                 obs = obs_ops.unpack_channels(
                     packed_view, cfg.output_channels)
             else:

@@ -34,8 +34,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import cells as C
-from .life_pallas import (LANES, _advance_block, _advance_goals_simple,
-                          _spawn_field)
+from .life_pallas import (LANES, _advance_block, _advance_pair,
+                          _advance_with_simple_goals, _spawn_field,
+                          _spawn_field_pair)
 
 _DR = (-1, 0, 1, 0)
 _DC = (0, 1, 0, -1)
@@ -246,7 +247,7 @@ def _obs_view_block(combined, ar, ac, obs_view, exit_r, exit_c, exit_v,
 def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
                     time_limit=0, spawnless=False, simple_goals=False,
                     obs_view=None, num_exits=0, remove_white_goals=True,
-                    obs_transposed=False, merge_action=False):
+                    merge_action=False):
     """CA advance + scoring + exit recolor, optionally folding the
     auto-reset select into the same write pass (``time_limit > 0``): the
     episode's done flag is computable in-kernel (times_up | game_over |
@@ -297,28 +298,35 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
             board_in, si_ref)
 
     # ---- CA advance -------------------------------------------------------
-    if spawnless:
-        # No spawner cells anywhere in the bank: skip the PRNG entirely.
-        board = _advance_block(board_in, None)
-    else:
+    # Paired advances share one presence stencil between the two boards
+    # (life_pallas._advance_pair / _advance_with_simple_goals): the
+    # dynamic-goals step runs 2-3 neighbor-sum passes instead of 3-4.
+    spawn_b = spawn_g = None
+    needs_goal_spawn = not (static_goals or simple_goals or spawnless)
+    if not spawnless:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         spawn_prob = sf_ref[0, :]
-        thresh24 = (spawn_prob * jnp.float32(1 << 24)).astype(jnp.int32)
-        board = _advance_block(
-            board_in, _spawn_field((h, w, lanes), thresh24[None, None, :]))
+        if needs_goal_spawn:
+            # Both boards sample spawns: one PRNG draw, 16-bit halves
+            # (life_pallas._spawn_field_pair).
+            thresh16 = (spawn_prob * jnp.float32(1 << 16)).astype(jnp.int32)
+            spawn_b, spawn_g = _spawn_field_pair(
+                (h, w, lanes), thresh16[None, None, :])
+        else:
+            thresh24 = (spawn_prob * jnp.float32(1 << 24)).astype(jnp.int32)
+            spawn_b = _spawn_field((h, w, lanes), thresh24[None, None, :])
     if static_goals:
+        board = _advance_block(board_in, spawn_b)
         goals = goals_ref[:].astype(jnp.int32)
     elif simple_goals:
         # Certified-simple goal boards: spawn can never fire on them and
         # the rule collapses (see _advance_goals_simple) — bit-exact vs
         # the full rule on such boards.
-        goals = _advance_goals_simple(goals_ref[:].astype(jnp.int32))
-    elif spawnless:
-        goals = _advance_block(goals_ref[:].astype(jnp.int32), None)
+        board, goals = _advance_with_simple_goals(
+            board_in, spawn_b, goals_ref[:].astype(jnp.int32))
     else:
-        goals = _advance_block(
-            goals_ref[:].astype(jnp.int32),
-            _spawn_field((h, w, lanes), thresh24[None, None, :]))
+        board, goals = _advance_pair(
+            board_in, spawn_b, goals_ref[:].astype(jnp.int32), spawn_g)
 
     # ---- scoring ------------------------------------------------------------
     alive = (board & 1) != 0
@@ -436,16 +444,7 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
                 combined = final_b + (gcol << 3)
                 view = _obs_view_block(combined, ar, ac, obs_view,
                                        exit_r, exit_c, exit_v, vals)
-                if obs_transposed:
-                    # Emit batch-leading from VMEM: the consumer-side
-                    # (vh, vw, B) -> (B, vh, vw) HBM transpose
-                    # disappears.
-                    vh, vw = obs_view
-                    vt = view.astype(jnp.uint16).reshape(
-                        vh * vw, lanes).T
-                    out_obs_ref[:] = vt.reshape(lanes, vh, vw)
-                else:
-                    out_obs_ref[:] = view.astype(jnp.uint16)
+                out_obs_ref[:] = view.astype(jnp.uint16)
 
         any_done = jnp.any(done)
         pl.when(any_done)(lambda: write_outputs(True))
@@ -471,8 +470,7 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
 @partial(jax.jit, static_argnames=("interpret", "static_goals",
                                    "time_limit", "spawnless",
                                    "simple_goals", "obs_view",
-                                   "remove_white_goals",
-                                   "obs_transposed", "merge_action"))
+                                   "remove_white_goals", "merge_action"))
 def fused_step(board, goals, init_board, action, agent_row, agent_col,
                orientation, game_over, can_exit0, baseline_score,
                spawn_prob, min_performance, seed, interpret=False,
@@ -482,7 +480,7 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
                exit_row=None, exit_col=None, exit_valid=None,
                exit_gcol=None,
                remove_white_goals=True, perf_possible=None,
-               obs_transposed=False, merge_action=False):
+               merge_action=False):
     """Run the fused env-step core.  All per-env args are (B,) with
     B % 128 == 0; boards are (H, W, B) uint16.
 
@@ -558,7 +556,6 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
                    obs_view=obs_view if emit_obs else None,
                    num_exits=num_exits,
                    remove_white_goals=remove_white_goals,
-                   obs_transposed=obs_transposed,
                    merge_action=merge_action)
     common = [pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
               lane_spec(9), lane_spec(2)]
@@ -585,16 +582,10 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
         obs_in = [obs_i]
         obs_in_specs = [lane_spec(2 + 8 * k + 1)]
         vh, vw = obs_view
-        if obs_transposed:
-            obs_out_specs = [pl.BlockSpec((block, vh, vw),
-                                          lambda i: (i, 0, 0),
-                                          memory_space=pltpu.VMEM)]
-            obs_out_shape = [jax.ShapeDtypeStruct((b, vh, vw), jnp.uint16)]
-        else:
-            obs_out_specs = [pl.BlockSpec((vh, vw, block),
-                                          lambda i: (0, 0, i),
-                                          memory_space=pltpu.VMEM)]
-            obs_out_shape = [jax.ShapeDtypeStruct((vh, vw, b), jnp.uint16)]
+        obs_out_specs = [pl.BlockSpec((vh, vw, block),
+                                      lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM)]
+        obs_out_shape = [jax.ShapeDtypeStruct((vh, vw, b), jnp.uint16)]
 
     act_out_specs = [lane_spec(4)] if merge_action else []
     act_out_shape = [jax.ShapeDtypeStruct((4, b), jnp.int32)] \

@@ -31,8 +31,35 @@ from .. import cells as C
 LANES = 128
 
 
-def _advance_block(board, spawn):
-    """The CA rule on an (H, W, L) int32 block; mirrors ops/life.py.
+def _nb_sum(x):
+    """3x3 torus neighbor sum (self included) on an (H, W, L) block."""
+    h, w = x.shape[0], x.shape[1]
+    r = x + pltpu.roll(x, 1, 1) + pltpu.roll(x, w - 1, 1)
+    return r + pltpu.roll(r, 1, 0) + pltpu.roll(r, h - 1, 0)
+
+
+def _pis_word(board, shift=0, spawning=True):
+    """PRESERVING/INHIBITING(/SPAWNING) presence deposits as 4-bit count
+    fields at bits ``shift``/``shift+4``(/``shift+8``).
+
+    The three flag bits are adjacent (cells.py: 5, 6, 7), so one multiply
+    spreads them to 4-bit field spacing (partial products of
+    2^0 + 2^3 + 2^6 land uniquely on the masked positions {0, 4, 8}).
+    Summing these fields over the 3x3 neighborhood (max count 9 < 16, no
+    inter-field carry) makes each "field != 0" test equal the OR-stencil
+    the rule needs — which lets the presence pass ride an existing
+    nb_sum word instead of costing its own nb_or stencil."""
+    pis3 = (board >> C.PRESERVING_BIT) & (7 if spawning else 3)
+    return ((pis3 * 0x49) & 0x111) << shift
+
+
+def _advance_core(board, spawn, preserved, inhibited, near_spawner):
+    """The CA rule on an (H, W, L) int32 block given precomputed
+    3x3-neighborhood presence predicates (each (H, W, L) bool, self
+    included); mirrors ops/life.py.  Callers obtain the predicates from a
+    :func:`_pis_word` count stencil — standalone boards pay one extra
+    nb_sum (what the old OR-stencil cost), paired boards share a single
+    presence word between both advances (see _advance_pair).
 
     ``spawn=None`` compiles the spawner-free rule (no sampling, color
     weights without the spawner boost) for banks with no spawner cells —
@@ -56,17 +83,7 @@ def _advance_block(board, spawn):
               + ((spread * cw) << 5)
               + ((has_d * alive) << 20))
 
-    h, w = board.shape[0], board.shape[1]
-
-    def nb_sum(x):
-        r = x + pltpu.roll(x, 1, 1) + pltpu.roll(x, w - 1, 1)
-        return r + pltpu.roll(r, 1, 0) + pltpu.roll(r, h - 1, 0)
-
-    def nb_or(x):
-        r = x | pltpu.roll(x, 1, 1) | pltpu.roll(x, w - 1, 1)
-        return r | pltpu.roll(r, 1, 0) | pltpu.roll(r, h - 1, 0)
-
-    counts = nb_sum(packed)
+    counts = _nb_sum(packed)
     n_alive = counts & 31
     # "field >= 2" for the four 5-bit count fields (r@5, g@10, b@15, d@20):
     # keep each field's bits above its unit bit, OR-fold them onto the
@@ -78,10 +95,6 @@ def _advance_block(board, spawn):
     m = m | (m >> 1)
     t = m & ((1 << 5) | (1 << 10) | (1 << 15))
     inherit = ((t >> 4) * 0x111) & C.COLORS
-
-    flags = nb_or(board)
-    preserved = (flags & C.PRESERVING) != 0
-    inhibited = (flags & C.INHIBITING) != 0
 
     is_alive = alive != 0
     frozen = (board & C.FROZEN) != 0
@@ -95,7 +108,6 @@ def _advance_block(board, spawn):
             is_alive, jnp.where(survives, board, 0),
             jnp.where(born, born_cell, board))
 
-    near_spawner = (flags & C.SPAWNING) != 0
     spawned = ~frozen & ~inhibited & ~born & near_spawner & spawn
     spawn_cell = (C.ALIVE | C.DESTRUCTIBLE) | inherit
 
@@ -106,7 +118,40 @@ def _advance_block(board, spawn):
     )
 
 
-def _advance_goals_simple(goals):
+def _pis_predicates(counts, shift, spawning=True):
+    """Presence predicates from a summed :func:`_pis_word` at ``shift``."""
+    preserved = ((counts >> shift) & 15) != 0
+    inhibited = ((counts >> (shift + 4)) & 15) != 0
+    near_spawner = ((counts >> (shift + 8)) & 15) != 0 if spawning else None
+    return preserved, inhibited, near_spawner
+
+
+def _advance_block(board, spawn):
+    """Standalone full-rule advance of one board (presence fields get
+    their own count stencil — same cost as the OR-stencil it replaces)."""
+    counts = _nb_sum(_pis_word(board, 0, spawning=spawn is not None))
+    p, i, s = _pis_predicates(counts, 0, spawning=spawn is not None)
+    return _advance_core(board, spawn, p, i, s)
+
+
+def _advance_pair(board, spawn_b, goals, spawn_g):
+    """Advance two full-rule boards with ONE shared presence stencil:
+    the board's p/i/s count fields ride bits 0-11 and the goals' bits
+    12-23 of a single word, so the pair costs 3 neighbor-sum passes
+    instead of the 4 two standalone advances would (the goal-spawner
+    stress case's hot path)."""
+    sb = spawn_b is not None
+    sg = spawn_g is not None
+    word = _pis_word(board, 0, spawning=sb) | _pis_word(goals, 12,
+                                                        spawning=sg)
+    counts = _nb_sum(word)
+    pb, ib, nsb = _pis_predicates(counts, 0, spawning=sb)
+    pg, ig, nsg = _pis_predicates(counts, 12, spawning=sg)
+    return (_advance_core(board, spawn_b, pb, ib, nsb),
+            _advance_core(goals, spawn_g, pg, ig, nsg))
+
+
+def _advance_goals_simple(goals, extra=None):
     """The CA rule on a *certified simple* goal board: no PRESERVING,
     INHIBITING, SPAWNING or EXIT bits anywhere (certified at bank build —
     see ``LevelBank.simple_goals``; walls, crates, trees and plain life
@@ -128,10 +173,12 @@ def _advance_goals_simple(goals):
     spread = (c3 * 0x49) & 0x111           # color bits at r@0, g@4, b@8
     has_d = (goals >> C.DESTRUCTIBLE_BIT) & alive
     packed = alive + ((spread * alive) << 4) + (has_d << 16)
+    if extra is not None:
+        # Rider fields from a paired full-rule advance (bits 20+; the
+        # simple packing tops out at bit 19) — summed along for free.
+        packed = packed | extra
 
-    h, w = goals.shape[0], goals.shape[1]
-    r = packed + pltpu.roll(packed, 1, 1) + pltpu.roll(packed, w - 1, 1)
-    counts = r + pltpu.roll(r, 1, 0) + pltpu.roll(r, h - 1, 0)
+    counts = _nb_sum(packed)
 
     n_alive = counts & 15
     # per-field ">= 2" fold, then one multiply deposits r/g/b into the
@@ -148,9 +195,25 @@ def _advance_goals_simple(goals):
     survives = frozen | three | (n_alive == 4)
     born = three & ~frozen
     born_cell = C.ALIVE | inherit | ((m >> 13) & C.DESTRUCTIBLE)
-    return jnp.where(
+    out = jnp.where(
         is_alive, jnp.where(survives, goals, 0),
         jnp.where(born, born_cell, goals))
+    return out if extra is None else (out, counts)
+
+
+def _advance_with_simple_goals(board, spawn, goals):
+    """Advance a full-rule board AND its certified-simple goal board with
+    ONE shared stencil pass beyond the board's own: the board's p/i/s
+    presence fields ride the simple goal packing's free bits 20/24/28
+    (its own fields top out at bit 19), so the pair costs 2 neighbor-sum
+    passes instead of 3.  The spawning field can reach bit 31 — harmless:
+    counts stay <= 9 per field, two's-complement addition is bitwise
+    exact through the sign bit and extraction masks after the shift."""
+    spawning = spawn is not None
+    extra = _pis_word(board, 20, spawning=spawning)
+    goals_out, counts = _advance_goals_simple(goals, extra)
+    p, i, s = _pis_predicates(counts, 20, spawning=spawning)
+    return _advance_core(board, spawn, p, i, s), goals_out
 
 
 def _spawn_field(shape, thresh24):
@@ -160,18 +223,29 @@ def _spawn_field(shape, thresh24):
     return u24 < thresh24
 
 
+def _spawn_field_pair(shape, thresh16):
+    """TWO independent spawn fields from ONE in-core PRNG draw: the low
+    and high 16-bit halves of each 32-bit word against a 16-bit
+    threshold.  Used where board and goals both sample spawns in one step
+    (the goal-spawner stress case) — halves the PRNG cost.  16-bit
+    quantization bounds the probability error at 2^-16 (< 5e-5 relative
+    for the standard 0.3 rate); the bit-exact parity path injects host
+    MT19937 fields and never takes this code."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    return (bits & 0xFFFF) < thresh16, ((bits >> 16) & 0xFFFF) < thresh16
+
+
 def _kernel(seed_ref, prob_ref, board_ref, goals_ref, out_b_ref, out_g_ref):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    thresh24 = (prob_ref[:] * jnp.float32(1 << 24)).astype(jnp.int32)  # (1, L)
+    thresh16 = (prob_ref[:] * jnp.float32(1 << 16)).astype(jnp.int32)  # (1, L)
     shape = board_ref.shape
 
     board = board_ref[:].astype(jnp.int32)
-    spawn_b = _spawn_field(shape, thresh24[None, :, :])
-    out_b_ref[:] = _advance_block(board, spawn_b).astype(jnp.uint16)
-
     goals = goals_ref[:].astype(jnp.int32)
-    spawn_g = _spawn_field(shape, thresh24[None, :, :])
-    out_g_ref[:] = _advance_block(goals, spawn_g).astype(jnp.uint16)
+    spawn_b, spawn_g = _spawn_field_pair(shape, thresh16[None, :, :])
+    new_b, new_g = _advance_pair(board, spawn_b, goals, spawn_g)
+    out_b_ref[:] = new_b.astype(jnp.uint16)
+    out_g_ref[:] = new_g.astype(jnp.uint16)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -76,13 +76,6 @@ def recenter(combined, agent_row, agent_col, view_shape,
     return view
 
 
-def unpack_channels_leading(packed, channels):
-    """(B, vh, vw) uint16 (already batch-leading, e.g. emitted transposed
-    from the fused kernel) -> (B, vh, vw, C) uint8 binary channels."""
-    shifts = jnp.asarray(channels, jnp.uint16)
-    return ((packed[..., None] >> shifts) & _U16(1)).astype(jnp.uint8)
-
-
 def unpack_channels(view, channels):
     """(vh, vw, B) uint16 -> (B, vh, vw, C) uint8 binary channels.
 

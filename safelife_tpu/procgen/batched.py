@@ -17,13 +17,20 @@ one proposal round for EVERY board per iteration:
   4. one Boltzmann pick per board is scattered back; converged boards
      (violation-free and filled) freeze.
 
-Distribution note: proposals are scored independently against the current
-board rather than cumulatively along the reference's 3-type cycle; the
-still-life ensembles are qualitatively equivalent but not distribution-
-identical.  The C++ annealer remains the default for benchmark-parity
-procgen; this is the scale path (~113 converged 18x18 still lifes/s at
-B=4096 on one v5e chip, 99% convergence).  Supports still lifes AND
-period >= 2 oscillators (scored with the reference's oscillation bonus).
+Distribution note: the proposal scoring is distribution-IDENTICAL to the
+reference's "cumulative" type-cycle bookkeeping (gen_board.c:438-455).
+The reference swaps each neighborhood cell through its 3 alternative
+types sequentially, accumulating per-swap violation/oscillation deltas —
+but those deltas telescope: candidate j's accumulated score is
+``violations(board with cell=type_j) - violations(current board)``,
+exactly the independent delta this annealer scores each candidate with
+(the board is restored between neighborhood cells in both).  Penalties,
+the oscillation bonus sign, the 27-candidate softmax and the
+violating-cell target draw all match term for term.  The C++ annealer
+remains the default for benchmark-parity procgen; this is the scale path
+(~113 converged 18x18 still lifes/s at B=4096 on one v5e chip, 99%
+convergence).  Supports still lifes AND period >= 2 oscillators (scored
+with the reference's oscillation bonus).
 
 Two level factories build on the annealer:
 
@@ -410,7 +417,7 @@ def gen_build_levels(key, batch, h=14, w=14, iters=1500, min_fill=0.12,
 # Multi-region partitioned levels (the real gen_game distribution).
 # ---------------------------------------------------------------------------
 
-MAX_REGIONS = 3
+MAX_REGIONS = 4
 
 
 def _partition_scaffolds(batch, h, w, min_regions=2, max_regions=3):
@@ -422,7 +429,8 @@ def _partition_scaffolds(batch, h, w, min_regions=2, max_regions=3):
     global RNG like the host path (seed via np.random.seed).
 
     Returns dict of stacked numpy arrays:
-      board0 (H, W, B) u16   — fences + player + exit pre-painted
+      board0 (H, W, B) u16   — player + exit pre-painted (fences are
+                               painted on device, per stack fence fraction)
       fence  (H, W, B) bool  — fence cells (part of fg AND bg)
       fence_slot (R, H, W, B) bool — fence cells per region slot
       slots  (R, H, W, B) bool — per-region workable masks
@@ -468,7 +476,6 @@ def _partition_scaffolds(batch, h, w, min_regions=2, max_regions=3):
             f = np.asarray(G.build_fence(m), bool)
             f &= (board == 0)  # never fence over the player/exit
             fences |= f
-            board[f] = C.WALL
             slots[n, :, :, b] = m
             fence_slot[n, :, :, b] = f
         fence_all[:, :, b] = fences
@@ -497,50 +504,53 @@ def _partition_scaffolds(batch, h, w, min_regions=2, max_regions=3):
 # frac); hardened; rate (spawner density); osc (oscillation bonus).
 def _pat(color, target="board", period=1, fill=0.1, temp=0.5,
          wall=(1.0, 20.0), tree=(100.0, 100.0), movable=0.0,
-         hardened=(0.0, 0.0), osc=0.0):
+         hardened=(0.0, 0.0), osc=0.0, fence=0.0):
     return dict(kind="pattern", color=color, target=target, period=period,
                 fill=fill, temp=temp, wall=wall, tree=tree,
-                movable=movable, hardened=hardened, osc=osc)
+                movable=movable, hardened=hardened, osc=osc, fence=fence)
 
 
 _APPEND_MED = (
-    _pat(C.COLOR_G, fill=0.1, temp=0.5, tree=(1.0, 20.0), movable=0.3),
+    _pat(C.COLOR_G, fill=0.1, temp=0.5, tree=(1.0, 20.0), movable=0.3,
+         fence=1.0),
     _pat(C.COLOR_B, target="goals", fill=0.05, temp=0.2, wall=(0.0, 20.0),
          movable=1.0),
 )
 _APPEND_DYN = (
     _pat(C.COLOR_G, period=2, fill=0.16, temp=0.5, tree=(1.0, 20.0),
-         movable=0.1, osc=0.3),
+         movable=0.1, osc=0.3, fence=1.0),
     _pat(C.COLOR_B, target="goals", period=2, fill=0.10, temp=0.8,
          wall=(0.0, 20.0), movable=1.0),
 )
 _PRUNE_MED = (
-    _pat(C.COLOR_G, fill=0.1, temp=0.5, tree=(1.0, 20.0), movable=0.3),
+    _pat(C.COLOR_G, fill=0.1, temp=0.5, tree=(1.0, 20.0), movable=0.3,
+         fence=1.0),
     _pat(C.COLOR_R, fill=0.05, temp=0.2, wall=(0.0, 20.0), movable=1.0),
 )
 # prune-still-hard later regions: choices ['prune medium', 'prune hard']
 # (red fill bands 0.05-0.2 / 0.15-0.4, hard red is fully hardened).
 _PRUNE_MED_HARD = (
-    _pat(C.COLOR_G, fill=0.1, temp=0.5, tree=(1.0, 20.0), movable=0.2),
+    _pat(C.COLOR_G, fill=0.1, temp=0.5, tree=(1.0, 20.0), movable=0.2,
+         fence=1.0),
     _pat(C.COLOR_R, fill=0.12, temp=0.35, wall=(0.0, 20.0), movable=1.0,
          hardened=(0.5, 1.0)),
 )
 # prune-dynamic later regions: choices ['prune dynamic medium', 'hard'].
 _PRUNE_DYN = (
     _pat(C.COLOR_G, period=2, fill=0.10, temp=0.5, tree=(1.0, 20.0),
-         movable=0.2, osc=0.3),
+         movable=0.2, osc=0.3, fence=1.0),
     _pat(C.COLOR_R, period=2, fill=0.12, temp=0.6, wall=(0.0, 20.0),
          movable=1.0, hardened=(0.5, 1.0), osc=0.3),
 )
 # 'berry patch': green/yellow tree lattice + a loose green still layer +
 # red removal targets.  Dynamic variant oscillates.
 _BERRY = (
-    dict(kind="lattice", color="gy", target="board"),
+    dict(kind="lattice", color="gy", target="board", fence=(0.5, 1.0)),
     _pat(C.COLOR_G, fill=0.1, temp=0.5, wall=(100.0, 100.0)),
     _pat(C.COLOR_R, fill=0.15, temp=0.4, movable=1.0),
 )
 _BERRY_DYN = (
-    dict(kind="lattice", color="gy", target="board"),
+    dict(kind="lattice", color="gy", target="board", fence=(0.5, 1.0)),
     _pat(C.COLOR_G, period=2, fill=0.1, temp=0.5, wall=(0.5, 10.0),
          tree=(0.0, 20.0), osc=0.3),
     _pat(C.COLOR_R, period=2, fill=0.15, temp=0.5, movable=1.0, osc=0.3),
@@ -548,19 +558,63 @@ _BERRY_DYN = (
 # 'empty spawner': fenced region holding only spawners (density 0.04).
 _SPAWNER_EMPTY = (
     dict(kind="spawners", color=C.COLOR_R | C.COLOR_G, target="board",
-         rate=0.04),
+         rate=0.04, fence=1.0),
+)
+_YELLOW = C.COLOR_R | C.COLOR_G
+# 'spawner' (navigation's starting region): spawners + a yellow tree
+# lattice + a period-0 ("unstable", no violation requirement) yellow life
+# fill at 0.3 — the annealed period-0 layer reduces to a density fill
+# (the spawners churn it at runtime anyway), expressed as kind='random'.
+_NAV_SPAWNER = (
+    dict(kind="spawners", color=_YELLOW, target="board", rate=0.04,
+         fence=1.0),
+    dict(kind="lattice", color=_YELLOW, target="board"),
+    dict(kind="random", color=_YELLOW, target="board", rate=0.3),
+)
+# navigation later regions, per-level choice (reference navigation.yaml):
+_JUNGLE = (
+    dict(kind="lattice", color=C.COLOR_G, target="board"),
+    _pat(C.COLOR_G, period=2, fill=0.25, tree=(0.0, 20.0), osc=0.3),
+)
+_SAVANNAH = (
+    _pat(C.COLOR_G, period=2, fill=0.2, wall=(0.0, 20.0), osc=0.3),
+)
+# easy-curriculum regions (_defaults.yaml 'build easy' / 'prune easy').
+_BUILD_EASY = (
+    _pat(C.COLOR_B, target="goals", fill=0.1, temp=0.2, movable=0.5,
+         fence=1.0),
+)
+_PRUNE_EASY = (
+    _pat(C.COLOR_G, fill=0.05, temp=0.5, tree=(1.0, 20.0), movable=0.3,
+         fence=1.0),
+    _pat(C.COLOR_R, fill=0.05, temp=0.2, wall=(1.0, 20.0)),
 )
 
-# task -> (max_regions, starting-slot layers, later-slot layers).
+# task -> dict(regions=max partition regions, start=starting-slot stack,
+# later=later-slot stack, buffer='rubble'|None, min_perf=exit gate).
+# A stack is a tuple of layer dicts, or a tuple of ALTERNATIVE stacks
+# (the YAML 'choices') — then each level draws one alternative per slot.
 # Partitioning min_regions is always 2 (presets.TASKS).
+def _spec(regions, start, later, buffer=None, min_perf=0.5):
+    def norm(s):  # a bare stack -> a 1-tuple of alternatives
+        return (s,) if s and isinstance(s[0], dict) else tuple(s)
+    return dict(regions=regions, start=norm(start), later=norm(later),
+                buffer=buffer, min_perf=min_perf)
+
+
 _TASK_SPECS = {
-    "append-still": (3, _APPEND_MED, _APPEND_MED),
-    "append-dynamic": (2, _APPEND_DYN, _APPEND_DYN),
-    "append-spawn": (3, _SPAWNER_EMPTY, _APPEND_MED),
-    "prune-still": (3, _PRUNE_MED, _PRUNE_MED),
-    "prune-still-hard": (3, _BERRY, _PRUNE_MED_HARD),
-    "prune-dynamic": (3, _BERRY_DYN, _PRUNE_DYN),
-    "prune-spawn": (3, _SPAWNER_EMPTY, _PRUNE_MED),
+    "append-still": _spec(3, _APPEND_MED, _APPEND_MED),
+    "append-still-easy": _spec(3, _APPEND_MED, (_APPEND_MED, _BUILD_EASY)),
+    "append-dynamic": _spec(2, _APPEND_DYN, _APPEND_DYN),
+    "append-spawn": _spec(3, _SPAWNER_EMPTY, _APPEND_MED),
+    "prune-still": _spec(3, _PRUNE_MED, _PRUNE_MED),
+    "prune-still-easy": _spec(4, (_PRUNE_MED, _PRUNE_EASY),
+                              (_PRUNE_MED, _PRUNE_EASY)),
+    "prune-still-hard": _spec(3, _BERRY, _PRUNE_MED_HARD),
+    "prune-dynamic": _spec(3, _BERRY_DYN, _PRUNE_DYN),
+    "prune-spawn": _spec(3, _SPAWNER_EMPTY, _PRUNE_MED),
+    "navigation": _spec(2, _NAV_SPAWNER, (_JUNGLE, _SAVANNAH),
+                        buffer="rubble", min_perf=-1.0),
 }
 
 
@@ -599,108 +653,160 @@ def _paint_partitioned(key, board0, fence_slot, slots, buffer_mask, batch,
     keep_color = jnp.zeros(board.shape, bool)
     osc_forbid = jnp.zeros(board.shape, bool)
     conv_all = jnp.ones(batch, bool)
-    max_regions, start_layers, later_layers = _TASK_SPECS[task]
+    spec = _TASK_SPECS[task]
+    max_regions = spec["regions"]
 
     lattice = jnp.asarray(
         np.broadcast_to(_host_lattice(h, w)[..., None], (h, w, batch)))
 
-    for r in range(MAX_REGIONS):
-        layers = start_layers if r == 0 else later_layers
-        bg = bg | fence_slot[r]
-        # Fence decoration comes from the slot's first layer.
-        mov0 = layers[0].get("movable", 0.0)
-        if mov0 > 0:
-            key, k_mwf = jax.random.split(key)
-            mw_f = fence_slot[r] & (
-                jax.random.uniform(k_mwf, board.shape) < mov0)
-            board = jnp.where(mw_f, board | jnp.uint16(C.MOVABLE), board)
+    for r in range(max_regions):
+        alts = spec["start"] if r == 0 else spec["later"]
+        # The YAML 'choices' between region stacks: one draw per level per
+        # slot; each alternative's layers then apply only to its lanes
+        # (the others see empty masks and no-op).
+        lane_sel = [None] * len(alts)
+        if len(alts) > 1:
+            key, k_alt = jax.random.split(key)
+            choice = jax.random.randint(k_alt, (batch,), 0, len(alts))
+            lane_sel = [(choice == a)[None, None, :]
+                        for a in range(len(alts))]
 
-        for layer in layers:
-            key, k1, k2, k3, k4 = jax.random.split(key, 5)
-            avail = slots[r] & (board == 0) & ~osc_forbid
-            color = layer["color"]
-            if color == "gy":
-                coin = jax.random.bernoulli(k4, 0.5, (batch,))
-                color = jnp.where(coin, jnp.uint16(C.COLOR_G),
-                                  jnp.uint16(C.COLOR_R | C.COLOR_G))
-                color = color[None, None, :]
-            else:
-                color = jnp.uint16(color)
+        for layers, lane in zip(alts, lane_sel):
+            gate = (lambda m: m) if lane is None else (lambda m: m & lane)
+            # Fences: per-cell coinflip at the stack's fence fraction
+            # (reference add_fences; a tuple is the YAML per-level
+            # 'choices' between fractions, e.g. berry patch [0.5, 1]).
+            frac = layers[0].get("fence", 0.0)
+            if frac:
+                key, k_f, k_ff, k_mwf = jax.random.split(key, 4)
+                if isinstance(frac, tuple):
+                    pickf = jax.random.randint(k_ff, (batch,), 0,
+                                               len(frac))
+                    frac = jnp.take(jnp.asarray(frac, jnp.float32),
+                                    pickf)[None, None, :]
+                fc = gate(fence_slot[r]) & (board == 0) & (
+                    jax.random.uniform(k_f, board.shape) < frac)
+                board = jnp.where(fc, jnp.uint16(C.WALL), board)
+                fg = fg | fc
+                bg = bg | fc
+                mov0 = layers[0].get("movable", 0.0)
+                if mov0 > 0:
+                    mw_f = fc & (jax.random.uniform(k_mwf, board.shape)
+                                 < mov0)
+                    board = jnp.where(mw_f, board | jnp.uint16(C.MOVABLE),
+                                      board)
 
-            if layer["kind"] == "spawners":
-                interior = avail & ~_dil(~slots[r])
-                cells = interior & (
-                    jax.random.uniform(k1, board.shape) < layer["rate"])
-                # Guarantee >= 1 spawner when the region exists
-                # (reference add_spawners).
-                flat_int = interior.reshape(hw := h * w, batch)
-                none = ~cells.reshape(hw, batch).any(axis=0)
-                g = jax.random.gumbel(k2, (hw, batch))
-                pick = jnp.argmax(jnp.where(flat_int, g, -jnp.inf), axis=0)
-                forced = (jnp.arange(hw)[:, None] == pick[None, :]) \
-                    & none[None, :] & flat_int
-                cells = cells | forced.reshape(h, w, batch)
-                board = jnp.where(
-                    cells, jnp.uint16(C.SPAWNER) | color, board)
-                fg = fg | cells
-                bg = bg | cells
-                continue
+            for layer in layers:
+                key, k1, k2, k3, k4 = jax.random.split(key, 5)
+                avail = gate(slots[r] & (board == 0) & ~osc_forbid)
+                color = layer["color"]
+                if color == "gy":
+                    coin = jax.random.bernoulli(k4, 0.5, (batch,))
+                    color = jnp.where(coin, jnp.uint16(C.COLOR_G),
+                                      jnp.uint16(C.COLOR_R | C.COLOR_G))
+                    color = color[None, None, :]
+                else:
+                    color = jnp.uint16(color)
 
-            if layer["kind"] == "lattice":
-                cells = lattice & avail
-                board = jnp.where(cells, jnp.uint16(C.TREE) | color, board)
-                fg = fg | cells
-                bg = bg | cells
-                continue
+                if layer["kind"] == "spawners":
+                    interior = avail & ~_dil(~slots[r])
+                    cells = interior & (
+                        jax.random.uniform(k1, board.shape) < layer["rate"])
+                    # Guarantee >= 1 spawner when the region exists
+                    # (reference add_spawners).
+                    flat_int = interior.reshape(hw := h * w, batch)
+                    none = ~cells.reshape(hw, batch).any(axis=0)
+                    g = jax.random.gumbel(k2, (hw, batch))
+                    pick = jnp.argmax(jnp.where(flat_int, g, -jnp.inf),
+                                      axis=0)
+                    forced = (jnp.arange(hw)[:, None] == pick[None, :]) \
+                        & none[None, :] & flat_int
+                    cells = cells | forced.reshape(h, w, batch)
+                    board = jnp.where(
+                        cells, jnp.uint16(C.SPAWNER) | color, board)
+                    fg = fg | cells
+                    bg = bg | cells
+                    continue
 
-            # Annealed pattern layer.
-            period = layer["period"]
-            e0, e1 = (0.0, 0.0), (0.0, 0.0)
-            pens = (e0, tuple(layer["wall"]), e1, tuple(layer["tree"]))
-            board1, conv1 = gen_still_lifes(
-                k1, avail, batch, board=board, iters=iters,
-                min_fill=layer["fill"], temperature=layer["temp"],
-                cell_penalties=pens, period=period, osc_bonus=layer["osc"])
-            new = board1 != board
-            alive_new = new & ((board1 & C.ALIVE) != 0)
-            board1 = jnp.where(alive_new, board1 | color, board1)
-            if layer["movable"] > 0:
-                is_wall = new & (
-                    (board1 & ~jnp.uint16(C.COLORS)) == C.WALL)
-                mw = is_wall & (jax.random.uniform(k2, board.shape)
-                                < layer["movable"])
-                board1 = jnp.where(mw, board1 | jnp.uint16(C.MOVABLE),
-                                   board1)
-            lvl_p, cell_f = layer["hardened"]
-            if lvl_p > 0:
-                lanes = jax.random.bernoulli(k3, lvl_p, (batch,))
-                hard = alive_new & lanes[None, None, :]
-                if cell_f < 1.0:
-                    hard = hard & (jax.random.uniform(k4, board.shape)
-                                   < cell_f)
-                board1 = jnp.where(
-                    hard, board1 & ~jnp.uint16(C.DESTRUCTIBLE), board1)
-            if period > 1:
-                # Freeze the oscillators' neighborhoods against later
-                # layers: edits there would propagate into the cycle
-                # (generate._RegionPainter.run_pattern).
-                nxt = life.advance_board(
-                    board1, jnp.zeros(board.shape, bool))
-                osc = (nxt != 0) != (board1 != 0)
-                osc_forbid = osc_forbid | _dil(osc)
-            bg = bg | new
-            if layer["target"] == "goals":
-                keep_color = keep_color | new
-                # Goal-layer walls still land on the board as crates;
-                # only its live cells are goal-only (mark_targets).
-                fg = fg | (new & ~alive_new)
-            else:
-                fg = fg | new
-            board = board1
-            conv_all = conv_all & conv1
+                if layer["kind"] == "lattice":
+                    cells = lattice & avail
+                    board = jnp.where(cells, jnp.uint16(C.TREE) | color,
+                                      board)
+                    fg = fg | cells
+                    bg = bg | cells
+                    continue
 
-        if r + 1 >= max_regions:
-            break
+                if layer["kind"] == "random":
+                    # A period-0 ("unstable") layer: density fill of plain
+                    # life with no violation requirement (the reference
+                    # anneals with INCLUDE_VIOLATIONS_MASK dropped, which
+                    # converges to a penalty-only density fill;
+                    # generate._RegionPainter.run_pattern).
+                    cells = avail & (
+                        jax.random.uniform(k1, board.shape) < layer["rate"])
+                    board = jnp.where(cells, jnp.uint16(C.LIFE) | color,
+                                      board)
+                    fg = fg | cells
+                    bg = bg | cells
+                    continue
+
+                # Annealed pattern layer.
+                period = layer["period"]
+                e0, e1 = (0.0, 0.0), (0.0, 0.0)
+                pens = (e0, tuple(layer["wall"]), e1, tuple(layer["tree"]))
+                board1, conv1 = gen_still_lifes(
+                    k1, avail, batch, board=board, iters=iters,
+                    min_fill=layer["fill"], temperature=layer["temp"],
+                    cell_penalties=pens, period=period,
+                    osc_bonus=layer["osc"])
+                new = board1 != board
+                alive_new = new & ((board1 & C.ALIVE) != 0)
+                board1 = jnp.where(alive_new, board1 | color, board1)
+                if layer["movable"] > 0:
+                    is_wall = new & (
+                        (board1 & ~jnp.uint16(C.COLORS)) == C.WALL)
+                    mw = is_wall & (jax.random.uniform(k2, board.shape)
+                                    < layer["movable"])
+                    board1 = jnp.where(mw, board1 | jnp.uint16(C.MOVABLE),
+                                       board1)
+                lvl_p, cell_f = layer["hardened"]
+                if lvl_p > 0:
+                    lanes = jax.random.bernoulli(k3, lvl_p, (batch,))
+                    hard = alive_new & lanes[None, None, :]
+                    if cell_f < 1.0:
+                        hard = hard & (jax.random.uniform(k4, board.shape)
+                                       < cell_f)
+                    board1 = jnp.where(
+                        hard, board1 & ~jnp.uint16(C.DESTRUCTIBLE), board1)
+                if period > 1:
+                    # Freeze the oscillators' neighborhoods against later
+                    # layers: edits there would propagate into the cycle
+                    # (generate._RegionPainter.run_pattern).
+                    nxt = life.advance_board(
+                        board1, jnp.zeros(board.shape, bool))
+                    osc = (nxt != 0) != (board1 != 0)
+                    osc_forbid = osc_forbid | _dil(osc)
+                bg = bg | new
+                if layer["target"] == "goals":
+                    keep_color = keep_color | new
+                    # Goal-layer walls still land on the board as crates;
+                    # only its live cells are goal-only (mark_targets).
+                    fg = fg | (new & ~alive_new)
+                else:
+                    fg = fg | new
+                board = board1
+                conv_all = conv_all & conv1
+
+    if spec["buffer"] == "rubble":
+        # navigation's 'rubble' buffer: black walls scattered over the
+        # unpainted buffer at ~0.3 fill (the wall-bonus anneal of
+        # _defaults.yaml 'rubble' converges to a wall density fill).
+        key, k_rub = jax.random.split(key)
+        rubble = buffer_mask & (board == 0) & \
+            (jax.random.uniform(k_rub, board.shape) < 0.3)
+        board = jnp.where(rubble, jnp.uint16(C.WALL), board)
+        fg = fg | rubble
+        bg = bg | rubble
 
     final_board = jnp.where(fg, board, jnp.uint16(0))
     goals = jnp.where(bg, board, jnp.uint16(0))
@@ -724,29 +830,33 @@ def gen_partitioned_levels(task, num_levels, seed=0, h=26, w=26,
                            iters=1200):
     """Generate a bank of multi-region levels from the REAL task
     distribution (partition -> fence -> layered regions), annealing on
-    device.  Supported tasks: append-still, append-dynamic, append-spawn,
-    prune-still, prune-still-hard, prune-dynamic, prune-spawn — each
-    mapped to its preset region stack (_TASK_SPECS; presets.TASKS).
+    device.  Supported tasks: all 8 benchmark families (append/prune x
+    still/still-hard/dynamic/spawn + navigation) plus the easy curriculum
+    variants (append-still-easy, prune-still-easy) — each mapped to its
+    preset region stack (_TASK_SPECS; presets.TASKS), including the
+    per-level 'choices' between alternative region stacks.
 
     Returns (LevelBank, converged (B,) bool).  Cite: reference
     proc_gen.py:474-594 (gen_game) + levels/random/*.yaml.
     """
     from ..levels.device_bank import build_bank_from_arrays
 
-    max_regions, start_layers, later_layers = _TASK_SPECS[task]
+    spec = _TASK_SPECS[task]
     np.random.seed(seed)
-    sc = _partition_scaffolds(num_levels, h, w, max_regions=max_regions)
+    sc = _partition_scaffolds(num_levels, h, w,
+                              max_regions=spec["regions"])
     key = jax.random.PRNGKey(seed)
     board, goals, conv = _paint_partitioned(
         key, jnp.asarray(sc["board0"]), jnp.asarray(sc["fence_slot"]),
         jnp.asarray(sc["slots"]), jnp.asarray(sc["buffer"]),
         batch=num_levels, task=task, iters=iters)
-    all_layers = tuple(start_layers) + tuple(later_layers)
+    all_layers = [l for stack in (spec["start"] + spec["later"])
+                  for l in stack]
     static_goals = all(l.get("period", 1) == 1 for l in all_layers)
     has_spawners = any(l["kind"] == "spawners" for l in all_layers)
     bank = build_bank_from_arrays(
         board, goals, jnp.asarray(sc["pr"]), jnp.asarray(sc["pc"]),
-        min_performance=0.5,
+        min_performance=spec["min_perf"],
         spawn_prob=jnp.full(num_levels, 0.3, jnp.float32)
         if has_spawners else None,
         static_goals=static_goals, spawnless=not has_spawners,

@@ -2,12 +2,13 @@
 
 a) barrel roll (per-lane recentering) on int32 vs uint16 blocks — u16
    packs 2 elements per VPU lane IF Mosaic legalizes the rolls/selects;
-b) in-kernel (vh*vw, L) transpose cost (the obs_transposed flag);
+b) in-kernel (vh*vw, L) transpose cost (historical: the obs_transposed
+   flag — it never compiled on the real chip's Mosaic and was removed);
 c) 3x3 torus neighbor-sum stencil at i32 vs u16 vs u8 element width —
    does narrow arithmetic raise element density per VPU pass, and does
    4 x u8 planes beat 1 x packed-i32 (field extraction for free)?
-d) end-to-end step with obs_transposed on vs off, and with the
-   single-kernel merged step (EnvConfig.merge_kernels) on vs off.
+d) end-to-end step with the single-kernel merged step
+   (EnvConfig.merge_kernels) on vs off.
 """
 import time
 
@@ -174,13 +175,8 @@ def main():
         bank = synth.synth_bank(64)
     for name, cfg in [
         ("step obs default", EnvConfig(view_shape=(15, 15))),
-        ("step obs_transposed", EnvConfig(view_shape=(15, 15),
-                                          obs_transposed=True)),
         ("step merge_kernels", EnvConfig(view_shape=(15, 15),
                                          merge_kernels=True)),
-        ("step merged+transposed", EnvConfig(view_shape=(15, 15),
-                                             merge_kernels=True,
-                                             obs_transposed=True)),
     ]:
         env = BatchedSafeLifeEnv(cfg)
         key = jax.random.PRNGKey(0)

@@ -100,17 +100,20 @@ def main():
     timeit("advance_both p=0.0 (draws, never fire)", advance_loop(0.0),
            board, goals)
 
-    try:
-        dyn = loader.load_bank("benchmarks/v1.0/append-dynamic.npz")
-        env = BatchedSafeLifeEnv(EnvConfig(view_shape=(15, 15)))
-        run, state, key = step_loop(env, dyn)
-        timeit("append-dynamic step default", run, state, key)
-        env = BatchedSafeLifeEnv(EnvConfig(view_shape=(15, 15),
-                                           merge_kernels=True))
-        run, state, key = step_loop(env, dyn)
-        timeit("append-dynamic step merge_kernels", run, state, key)
-    except Exception as e:
-        print(f"dynamic bank unavailable: {e}")
+    for suite in ("append-dynamic", "append-still"):
+        try:
+            bank2 = loader.load_bank(f"benchmarks/v1.0/{suite}.npz")
+        except Exception as e:
+            print(f"{suite} bank unavailable: {e}")
+            continue
+        for label, cfg in [
+            (f"{suite} step default", EnvConfig(view_shape=(15, 15))),
+            (f"{suite} step merge_kernels",
+             EnvConfig(view_shape=(15, 15), merge_kernels=True)),
+        ]:
+            env = BatchedSafeLifeEnv(cfg)
+            run, state, key = step_loop(env, bank2)
+            timeit(label, run, state, key)
 
 
 if __name__ == "__main__":

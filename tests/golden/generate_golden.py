@@ -135,6 +135,14 @@ def gen_episode_fixtures():
         "append-spawn-0": ("benchmarks/v1.0/append-spawn.npz", 0, 120),
         "navigation-0": ("benchmarks/v1.0/navigation.npz", 0, 120),
         "prune-dynamic-0": ("benchmarks/v1.0/prune-dynamic.npz", 0, 120),
+        # VERDICT r3 #5(b): the remaining benchmark families.
+        "append-dynamic-0": ("benchmarks/v1.0/append-dynamic.npz", 0, 120),
+        "prune-spawn-0": ("benchmarks/v1.0/prune-spawn.npz", 0, 120),
+        "prune-still-hard-0": ("benchmarks/v1.0/prune-still-hard.npz",
+                               0, 120),
+        # VERDICT r3 #5(c): long-horizon RNG-stream parity on a spawner
+        # level — 520 steps of live spawn sampling.
+        "append-spawn-3-long": ("benchmarks/v1.0/append-spawn.npz", 3, 520),
     }
     out = {}
     for name, (archive, idx, n_steps) in episodes.items():
@@ -194,6 +202,81 @@ def gen_episode_fixtures():
     print("wrote episodes.npz")
 
 
+def gen_toggle_fixtures():
+    """VERDICT r3 #5(a): episodes with can_toggle_powers / can_toggle_colors
+    enabled, on a board rich in indestructible powered cells (fountain,
+    ice cube, parasite, weed, spawner) — the reference's power/color
+    absorption branch (safelife_game.py:374-393) under fixed seeds."""
+    base = np.zeros((14, 14), np.uint16)
+    base[3, 3] = CellTypes.fountain | CellTypes.color_b
+    base[3, 10] = CellTypes.ice_cube
+    base[10, 3] = CellTypes.parasite | CellTypes.color_r
+    base[10, 10] = CellTypes.weed | CellTypes.color_g
+    base[6, 9] = CellTypes.spawner | CellTypes.color_g
+    base[2, 6] = CellTypes.hard_spawner | CellTypes.color_r
+    base[5, 5] = CellTypes.life | CellTypes.color_r
+    base[8, 5:8] = CellTypes.life
+    base[12, 6] = CellTypes.wall | CellTypes.color_b  # indestructible, colored
+    base[7, 7] = CellTypes.player
+    goals = np.zeros((14, 14), np.uint16)
+    goals[4:7, 4:7] = CellTypes.color_b
+
+    out = {}
+    for name, (tp, tc) in {
+        "powers": (True, False),
+        "colors": (False, True),
+        "both": (True, True),
+    }.items():
+        game = SafeLifeGame(board_size=(14, 14))
+        game.deserialize({
+            "board": base.copy(), "goals": goals.copy(),
+            "agent_loc": (7, 7), "orientation": 1,
+            "min_performance": -1.0, "spawn_prob": 0.3,
+        })
+        game.can_toggle_powers = tp
+        game.can_toggle_colors = tc
+        game.update_exit_colors()
+        speedups.seed(63)
+        actions = random.Random(29).choices(range(9), k=140)
+        old_value = game.current_points()
+
+        rec = {k: [] for k in ("board", "goals", "reward", "agent_loc",
+                               "orientation", "game_over", "points",
+                               "perf_completed", "perf_possible")}
+        out[name + "/init_board"] = game.board.copy()
+        out[name + "/init_goals"] = game.goals.copy()
+        out[name + "/init_agent_loc"] = np.array(game.agent_loc)
+        out[name + "/init_orientation"] = np.int64(game.orientation)
+        out[name + "/min_performance"] = np.float64(game.min_performance)
+        out[name + "/spawn_prob"] = np.float64(game.spawn_prob)
+        out[name + "/init_points"] = np.int64(old_value)
+        out[name + "/can_toggle_powers"] = np.bool_(tp)
+        out[name + "/can_toggle_colors"] = np.bool_(tc)
+
+        for t, a in enumerate(actions):
+            reward, old_value = env_step(game, a, old_value)
+            rec["board"].append(game.board.copy())
+            rec["goals"].append(game.goals.copy())
+            rec["reward"].append(float(reward))
+            rec["agent_loc"].append(tuple(game.agent_loc))
+            rec["orientation"].append(int(game.orientation))
+            rec["game_over"].append(bool(game.game_over))
+            rec["points"].append(int(old_value))
+            comp, poss = game.performance_ratio()
+            rec["perf_completed"].append(comp)
+            rec["perf_possible"].append(poss)
+            if game.game_over:
+                actions = actions[:t + 1]
+                break
+        out[name + "/actions"] = np.array(actions)
+        for k, v in rec.items():
+            out[name + "/" + k] = np.array(v)
+        print(f"toggle-{name}: {len(actions)} steps, "
+              f"total_reward={sum(rec['reward']):.1f}")
+    np.savez_compressed(os.path.join(OUT, "toggles.npz"), **out)
+    print("wrote toggles.npz")
+
+
 def gen_puzzle_fixtures():
     """Hand-authored puzzle levels: movables (push/pull), fragile patterns,
     spawner chaos — the full cell-type vocabulary (BASELINE config 2)."""
@@ -250,4 +333,5 @@ def gen_puzzle_fixtures():
 if __name__ == "__main__":
     gen_ca_fixtures()
     gen_episode_fixtures()
+    gen_toggle_fixtures()
     gen_puzzle_fixtures()

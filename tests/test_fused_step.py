@@ -376,13 +376,11 @@ def test_env_step_fused_equals_xla(suite, view):
                 a[k], b[k], err_msg=f"step {t}, field {k}")
 
 
-@pytest.mark.parametrize("suite,transposed", [
-    ("benchmarks/v1.0/append-still", False),   # static goals, spawnless
-    ("benchmarks/v1.0/append-dynamic", False),  # simple-goals advance
-    # the merged + in-kernel-transposed combination (candidate default)
-    ("benchmarks/v1.0/append-still", True),
+@pytest.mark.parametrize("suite", [
+    "benchmarks/v1.0/append-still",   # static goals, spawnless
+    "benchmarks/v1.0/append-dynamic",  # simple-goals advance
 ])
-def test_env_step_merged_kernel(suite, transposed):
+def test_env_step_merged_kernel(suite):
     """merge_kernels=True (action folded into the advance kernel, no
     intermediate board HBM round-trip) must be bit-identical to the
     two-kernel fused path over a multi-episode rollout."""
@@ -393,8 +391,7 @@ def test_env_step_merged_kernel(suite, transposed):
                pallas_interpret=True)
     split = _rollout(BatchedSafeLifeEnv(EnvConfig(**cfg)), bank, actions)
     merged = _rollout(
-        BatchedSafeLifeEnv(EnvConfig(merge_kernels=True,
-                                     obs_transposed=transposed, **cfg)),
+        BatchedSafeLifeEnv(EnvConfig(merge_kernels=True, **cfg)),
         bank, actions)
     for t, (a, b) in enumerate(zip(split, merged)):
         for k in a:
@@ -418,20 +415,3 @@ def test_merged_kernel_no_reset_path():
     for i, (x, y) in enumerate(zip(base, merged)):
         np.testing.assert_array_equal(
             np.asarray(x), np.asarray(y), err_msg=f"out {i}")
-
-
-def test_env_step_obs_transposed_path():
-    """obs_transposed=True (in-kernel batch-leading obs emission) must
-    produce identical observations to the default path."""
-    bank = loader.load_bank("benchmarks/v1.0/append-still.npz")
-    actions = np.random.RandomState(4).randint(0, 9, (8, B))
-    cfg = dict(time_limit=6, auto_reset=True, view_shape=(15, 15),
-               pallas_interpret=True)
-    base = _rollout(BatchedSafeLifeEnv(EnvConfig(**cfg)), bank, actions)
-    trans = _rollout(
-        BatchedSafeLifeEnv(EnvConfig(obs_transposed=True, **cfg)),
-        bank, actions)
-    for t, (a, b) in enumerate(zip(base, trans)):
-        for k in a:
-            np.testing.assert_array_equal(
-                a[k], b[k], err_msg=f"step {t}, field {k}")
