@@ -100,6 +100,10 @@ def run_benchmark(benchmark_name, policy, logfile=None, key=None,
     else:
         bank = benchmark_name
         names = [f"level-{i}" for i in range(bank.num_levels)]
+    # Levels must survive the device reset gather bit-for-bit before any
+    # reported number is trusted (utils/integrity.py, 2026-08-19 incident).
+    from .utils.integrity import check_bank_reset_integrity
+    check_bank_reset_integrity(bank)
 
     env = BatchedSafeLifeEnv(EnvConfig(
         view_shape=view_shape, time_limit=time_limit, auto_reset=False))

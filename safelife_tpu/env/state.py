@@ -16,6 +16,32 @@ from flax import struct
 from .. import cells as C
 
 
+def onehot_take(tree, idx):
+    """Gather ``tree``'s leaves at trailing-axis indices ``idx`` via one
+    MXU one-hot matmul (see LevelBank.take_onehot for why and for the
+    HIGHEST-precision requirement).  Module-level so utils/integrity.py
+    can golden-test the exact jitted computation the env resets with."""
+    leaves, treedef = jax.tree.flatten(tree)
+    n = leaves[0].shape[-1]
+    b = idx.shape[0]
+    flat = [l.reshape(-1, n).astype(jnp.float32) for l in leaves]
+    sizes = [f.shape[0] for f in flat]
+    mat = jnp.concatenate(flat, axis=0)                   # (R, N)
+    onehot = (jnp.arange(n, dtype=jnp.int32)[:, None]
+              == idx[None, :]).astype(jnp.float32)         # (N, B)
+    out = jax.lax.dot_general(
+        mat, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)               # (R, B)
+    picked = []
+    off = 0
+    for leaf, size in zip(leaves, sizes):
+        sl = out[off:off + size].reshape(leaf.shape[:-1] + (b,))
+        picked.append(sl.astype(leaf.dtype))
+        off += size
+    return jax.tree.unflatten(treedef, picked)
+
+
 class LevelBank(struct.PyTreeNode):
     """A fixed set of levels resident on device, stacked batch-trailing.
 
@@ -89,28 +115,22 @@ class LevelBank(struct.PyTreeNode):
         pathological on TPU (~10x a CA advance per call).  Here every leaf
         is flattened into one (R, N) float32 matrix and the batch gather
         becomes a single (R, N) x (N, B) matmul with a one-hot selector:
-        ~100x faster on the MXU.  Exact by construction: each output
-        element is a sum with exactly one nonzero term, and all leaf values
-        (u16 boards, small ints, f32 scalars) are representable in f32.
+        ~100x faster on the MXU.  Exact ONLY with ``Precision.HIGHEST``:
+        each output element is a sum with exactly one nonzero term and all
+        leaf values (u16 boards, small ints, f32 scalars) are representable
+        in f32, but DEFAULT matmul precision on TPU feeds the MXU bf16-
+        rounded inputs (8-bit significand), which silently strips the low
+        bits of any cell value above 255 — e.g. green life 0x0611 ->
+        0x0610 loses its ALIVE bit.  On 2026-08-19 exactly that corrupted
+        every reset of a full training sweep (red prune targets arrived
+        pre-dead, fabricating perfect prune scores) while the CA kernels
+        and the integrity guard's then-separate matmul probe stayed
+        clean; ``utils/integrity.py`` now runs THIS method on a rich
+        fixture bank so any future precision regression aborts the run.
+        HIGHEST costs ~6 MXU passes instead of 1 — irrelevant here, the
+        gather is amortized once per rollout (env.sample_fresh_levels).
         """
-        leaves, treedef = jax.tree.flatten(self)
-        n = self.num_levels
-        b = idx.shape[0]
-        flat = [l.reshape(-1, n).astype(jnp.float32) for l in leaves]
-        sizes = [f.shape[0] for f in flat]
-        mat = jnp.concatenate(flat, axis=0)                   # (R, N)
-        onehot = (jnp.arange(n, dtype=jnp.int32)[:, None]
-                  == idx[None, :]).astype(jnp.float32)         # (N, B)
-        out = jax.lax.dot_general(
-            mat, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (R, B)
-        picked = []
-        off = 0
-        for leaf, size in zip(leaves, sizes):
-            sl = out[off:off + size].reshape(leaf.shape[:-1] + (b,))
-            picked.append(sl.astype(leaf.dtype))
-            off += size
-        return jax.tree.unflatten(treedef, picked)
+        return onehot_take(self, idx)
 
 
 class EnvState(struct.PyTreeNode):

@@ -26,7 +26,8 @@ import numpy as np
 from ..env.env import BatchedSafeLifeEnv, EnvConfig
 from ..env import wrappers as W
 from ..levels import loader
-from ..utils.integrity import check_device_integrity
+from ..utils.integrity import (check_bank_reset_integrity,
+                               check_device_integrity)
 from ..metrics.logging import (
     EpisodeLogger, log_training_metrics, make_summary_writer)
 from .model import SafeLifeCNN
@@ -252,8 +253,12 @@ class Trainer:
         # Golden self-check of the device compute path before any training
         # signal is trusted; repeated at every checkpoint/eval and at the
         # end (utils/integrity.py — a degrading remote TPU once returned
-        # all-zero scores at full speed, fabricating perfect prune runs).
+        # all-zero scores at full speed, fabricating perfect prune runs,
+        # and on 2026-08-19 a lossy default-precision MXU gather stripped
+        # ALIVE bits from every reset, so the training bank itself is
+        # probed through the real reset gather too).
         check_device_integrity()
+        check_bank_reset_integrity(self.bank)
 
         # Ops-level crash-resume marker (reference start-training:53-66:
         # active_job.txt lets a restarted box resume its run).

@@ -15,8 +15,13 @@ on the HOST, every checked quantity is precomputed with the independent
 numpy twins (``ops.scoring.*_np``, ``ops.life_numpy``), and
 :func:`check_device_integrity` reruns them through the real jitted device
 ops — the CA advance, the point/performance/possible scoring chains, the
-side-effect count, and an MXU matmul (the one-hot reset gather path) —
-comparing bit-for-bit.  Any mismatch raises :class:`DeviceIntegrityError`
+side-effect count, and the actual one-hot MXU reset gather
+(``env.state.onehot_take``) over full-range uint16 values —
+comparing bit-for-bit.  The gather check also catches *precision*
+regressions, not just hardware faults: a second observed incident
+(2026-08-19) had the default-precision MXU path bf16-round gather inputs,
+stripping ALIVE bits from every reset board while everything else stayed
+exact.  Any mismatch raises :class:`DeviceIntegrityError`
 with a field-by-field report.  The trainer runs this at startup, at every
 checkpoint/eval, and at the end of training (see ``training/driver.py``),
 so a run that trained through silent corruption cannot finish quietly;
@@ -24,9 +29,11 @@ so a run that trained through silent corruption cannot finish quietly;
 check operationally.
 
 Exact comparisons are sound because every checked op is integer-valued:
-the env math is uint16/int32 throughout, and the matmul check feeds
-small integers with float32 accumulation (exact in IEEE for these
-magnitudes), so a single flipped or dropped lane anywhere fails loudly.
+the env math is uint16/int32 throughout, and the gather is a one-hot
+selection of u16 values pinned to HIGHEST matmul precision (each output
+a single f32-exact product), so a single flipped, dropped, or *rounded*
+lane anywhere fails loudly.  :func:`check_bank_reset_integrity`
+additionally runs the gather over a real bank's own values end to end.
 Cost: one tiny compile the first time (cached), ~ms per check after.
 """
 
@@ -93,21 +100,31 @@ def _build_fixture():
            | (((goals & C.COLORS) == C.COLOR_B) & ((b & red) == C.ALIVE)))
     side = (~non).sum((0, 1)).astype(np.int32)
 
-    # MXU golden: small-integer bf16 matmul with f32 accumulation is
-    # exact (|dot| <= 64*4 << 2**24), and it exercises the unit the
-    # one-hot reset gather runs on.
-    a = rng.randint(-2, 3, (64, 128)).astype(np.float32)
-    w = rng.randint(-2, 3, (128, 64)).astype(np.float32)
-    mm = a @ w
+    # Reset-gather golden: run the REAL one-hot MXU gather
+    # (env.state.onehot_take — the exact jitted op every in-training and
+    # eval reset flows through) over full-range uint16 boards.  A
+    # small-integer matmul probe is NOT sufficient here: on 2026-08-19
+    # the default-precision MXU path rounded gather inputs to bf16,
+    # silently stripping low bits of cell values > 255 (ALIVE bits
+    # vanished on reset, fabricating perfect prune scores) while a
+    # small-integer probe stayed exact.  Full-range values catch any
+    # precision regression on this path bit-for-bit.
+    gather_src = rng.randint(0, 1 << 16, (_H, _W, 100)).astype(np.uint16)
+    gather_idx = rng.randint(0, 100, _B).astype(np.int32)
+    gather_exp = gather_src[..., gather_idx]
 
     return dict(board=board, goals=goals, init_board=init_board,
-                baseline=baseline, a=a, w=w,
+                baseline=baseline, gather_src=gather_src,
+                gather_idx=gather_idx,
                 expected=dict(adv=adv, points=pts, completed=perf - baseline,
-                              possible=poss - baseline, side=side, mm=mm))
+                              possible=poss - baseline, side=side,
+                              gather=gather_exp))
 
 
 @jax.jit
-def _device_outputs(board, goals, init_board, baseline, a, w):
+def _device_outputs(board, goals, init_board, baseline, gather_src,
+                    gather_idx):
+    from ..env.state import onehot_take
     from ..ops import life, scoring
 
     adv = life.advance_board(board, jnp.zeros(board.shape, bool))
@@ -118,8 +135,7 @@ def _device_outputs(board, goals, init_board, baseline, a, w):
         completed=completed,
         possible=possible,
         side=scoring.side_effect_count(board, init_board, goals),
-        mm=jnp.dot(a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32))
+        gather=onehot_take(gather_src, gather_idx))
 
 
 def check_device_integrity(raise_on_fail=True):
@@ -137,7 +153,7 @@ def check_device_integrity(raise_on_fail=True):
     out = jax.device_get(_device_outputs(
         jnp.asarray(fx["board"]), jnp.asarray(fx["goals"]),
         jnp.asarray(fx["init_board"]), jnp.asarray(fx["baseline"]),
-        jnp.asarray(fx["a"]), jnp.asarray(fx["w"])))
+        jnp.asarray(fx["gather_src"]), jnp.asarray(fx["gather_idx"])))
     bad = []
     for k, want in fx["expected"].items():
         got = np.asarray(out[k])
@@ -152,6 +168,41 @@ def check_device_integrity(raise_on_fail=True):
                + " — the accelerator is returning silently-wrong results"
                  " (degrading pool?); results from this process are not"
                  " trustworthy.")
+        if raise_on_fail:
+            raise DeviceIntegrityError(msg)
+        import logging
+        logging.getLogger(__name__).error(msg)
+        return False
+    return True
+
+
+def check_bank_reset_integrity(bank, sample=8, raise_on_fail=True):
+    """End-to-end reset-gather check on a REAL level bank.
+
+    Gathers ``sample`` levels through the very ``take_onehot`` the env
+    resets with (on device) and compares every leaf bit-for-bit against a
+    host numpy trailing-axis take of the same bank.  Complements the
+    fixture check in :func:`check_device_integrity`: the fixture probe is
+    its own compiled program, and XLA may simplify a small standalone
+    one-hot matmul into an exact gather while the env-sized program still
+    hits the lossy MXU path — checking the actual bank values through the
+    actual method closes that gap (2026-08-19 incident; see
+    env/state.py:onehot_take).
+    """
+    if os.environ.get("SAFELIFE_INTEGRITY", "1") == "0":
+        return True
+    idx = np.linspace(0, bank.num_levels - 1, sample).astype(np.int32)
+    dev = jax.device_get(jax.jit(bank.take_onehot)(jnp.asarray(idx)))
+    host = jax.tree.map(lambda x: np.asarray(x)[..., idx], bank)
+    dev_leaves, _ = jax.tree.flatten(dev)
+    host_leaves, _ = jax.tree.flatten(host)
+    bad = [f"leaf {i}: {int((np.asarray(d) != np.asarray(h)).sum())} wrong"
+           for i, (d, h) in enumerate(zip(dev_leaves, host_leaves))
+           if not np.array_equal(np.asarray(d), np.asarray(h))]
+    if bad:
+        msg = ("bank reset-gather integrity FAILED on "
+               f"{jax.devices()[0].device_kind}: " + "; ".join(bad)
+               + " — level state is corrupted at reset; aborting.")
         if raise_on_fail:
             raise DeviceIntegrityError(msg)
         import logging

@@ -17,11 +17,25 @@ import os
 import re
 import sys
 
-# Force the CPU backend BEFORE jax loads (the sitecustomize on this box
-# force-registers the remote TPU plugin).
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# Force the CPU backend.  Setting the env vars here is NOT enough on a
+# box whose sitecustomize force-registers a TPU plugin at interpreter
+# startup (before this file runs): the 2026-08-19 sweep's "CPU"
+# verification silently ran on the degrading remote TPU that way and
+# recorded its fabricated prune scores.  Re-exec with the vars pinned in
+# the child's environment so they precede sitecustomize.
+if os.environ.get("JAX_PLATFORMS") != "cpu" \
+        or os.environ.get("PALLAS_AXON_POOL_IPS", None) != "":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def assert_cpu():
+    import jax
+    devs = jax.devices()
+    assert all(d.platform == "cpu" for d in devs), \
+        f"verification must run on host CPU, got {devs}"
 
 
 def main(run_dir):
@@ -36,6 +50,7 @@ def main(run_dir):
     import numpy as np  # noqa: F401  (jax deps after the env pins)
     from safelife_tpu.benchmarking import run_benchmark
     from safelife_tpu.training.driver import load_policy
+    assert_cpu()
 
     for logdir in sorted(glob.glob(os.path.join(run_dir, "*-s[0-9]*"))):
         run = os.path.basename(logdir)

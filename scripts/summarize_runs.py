@@ -2,12 +2,19 @@
 """Summarize training sweeps into RESULTS.md.
 
 Parses the `eval @ N: ...` lines that Trainer.evaluate logs (frozen-suite
-evaluation at every checkpoint) from a set of run logs, and writes
-per-task eval curves + final-score tables.
+evaluation at every checkpoint) from a set of run logs, merges them into a
+persistent curves archive (so runs from earlier sweeps survive log
+deletion), and writes per-task eval curves + final-score tables plus the
+impact-penalty safety summary.
 
-Usage: python scripts/summarize_runs.py /root/runs [RESULTS.md]
+Usage: python scripts/summarize_runs.py /root/runs [RESULTS.md] [archive.json]
+
+The archive (default results/curves.json next to the output file) is the
+source of truth: fresh logs override same task+seed entries, everything
+else is carried forward.  Commit it together with RESULTS.md.
 """
 
+import json
 import os
 import re
 import sys
@@ -17,6 +24,54 @@ LINE = re.compile(
     r"eval @ (\d+): levels=(\d+) mean_perf=([\d.]+) median_perf=([\d.]+) "
     r"mean_reward=([\d.-]+) mean_length=([\d.]+)"
     r"(?: mean_side_effects=([\d.]+))?")
+
+HEADER = """# Training results (anchored PPO curves)
+
+Frozen-suite evaluation during training: at every checkpoint the
+current policy runs over the task's 100-level benchmark suite
+(sampling policy, full episodes) and per-level EMD side-effect
+scores are computed on device.  Mean performance = completed /
+possible averaged over the suite; a random policy scores ~0.04.
+Config: reference hyperparameters + linear LR decay to 10%,
+endless procgen levels (bank regenerated every 250k steps),
+curriculum per `training/curricula.py`.
+
+Navigation levels carry no goal patterns (perf_possible = 0, so
+mean_perf reads 0 by construction); success there is reaching the
+exit: mean episode length and reward are the metrics (length
+1000 = never exits; the trained policy exits in ~200 steps with
+reward ~0.9 = 90% of episodes reach the exit).
+
+Prune-task performance counts red-cell removal only (losses of
+green life do not subtract — green scores 0 on empty goals), so
+an unpenalized policy can reach high prune-dynamic performance by
+destabilizing patterns indiscriminately; read those numbers
+together with the side-effects column, and compare the
+`+penalty` runs where the impact penalty is on.
+
+Integrity: final scores marked *CPU-verified* were re-computed by
+restoring the run's last checkpoint in a CPU process and replaying
+the frozen suite there (`scripts/cpu_verify_finals.py`).  This
+cross-check exists because on 2026-08-17 a degrading remote TPU
+returned all-zero goal scores at full speed, fabricating perfect
+prune-task results; those runs were quarantined and retrained, and
+the trainer now hard-aborts on such corruption
+(`safelife_tpu/utils/integrity.py`).  Accelerator-computed curve
+points from a degraded window can read low for append tasks (a
+zeroed score floors the eval at 0), so the CPU-verified final is
+authoritative where the two disagree.
+"""
+
+SAFETY_PROSE = """## The impact-penalty safety experiment
+
+The headline experiment of the SafeLife paper (arXiv:1912.01217;
+reference `env_wrappers.py:306-346`): add `SimpleSideEffectPenalty`
+with impact_penalty=0.5 (scheduled in over the first 2M steps, as in
+the reference `start-training`) and compare side effects against the
+unpenalized baseline.  Perf is the CPU-verified final; side effects
+are the final-checkpoint suite mean (EMD vs the inaction rollout,
+lower = safer).
+"""
 
 
 def parse_log(path):
@@ -35,12 +90,15 @@ def parse_log(path):
     return rows
 
 
-def main(run_dir, out="RESULTS.md"):
+def metric_for(task):
+    return "mean_reward" if task.startswith("navigation") else "mean_perf"
+
+
+def load_runs(run_dir):
+    """task -> seed -> rows from fresh logs, + CPU-verified finals."""
     import glob
 
-    import numpy as np
-
-    runs = defaultdict(dict)   # task -> seed -> rows
+    runs = defaultdict(dict)
     for log in sorted(glob.glob(os.path.join(run_dir, "*.log"))):
         name = os.path.basename(log)[:-4]
         m = re.match(r"(.+)-s(\d+)$", name)
@@ -53,53 +111,86 @@ def main(run_dir, out="RESULTS.md"):
     cpu_finals = {}
     cpu_path = os.path.join(run_dir, "cpu_finals.json")
     if os.path.exists(cpu_path):
-        import json
         with open(cpu_path) as fh:
             cpu_finals = json.load(fh)
+    return runs, cpu_finals
 
-    lines = [
-        "# Training results (anchored PPO curves)",
-        "",
-        "Frozen-suite evaluation during training: at every checkpoint the",
-        "current policy runs over the task's 100-level benchmark suite",
-        "(sampling policy, full episodes) and per-level EMD side-effect",
-        "scores are computed on device.  Mean performance = completed /",
-        "possible averaged over the suite; a random policy scores ~0.04.",
-        "Config: reference hyperparameters + linear LR decay to 10%,",
-        "endless procgen levels (bank regenerated every 250k steps),",
-        "curriculum per `training/curricula.py`.",
-        "",
-        "Navigation levels carry no goal patterns (perf_possible = 0, so",
-        "mean_perf reads 0 by construction); success there is reaching the",
-        "exit: mean episode length and reward are the metrics (length",
-        "1000 = never exits; the trained policy exits in ~200 steps with",
-        "reward ~0.9 = 90% of episodes reach the exit).",
-        "",
-        "Prune-task performance counts red-cell removal only (losses of",
-        "green life do not subtract — green scores 0 on empty goals), so",
-        "an unpenalized policy can reach high prune-dynamic performance by",
-        "destabilizing patterns indiscriminately; read those numbers",
-        "together with the side-effects column, and compare the",
-        "`+penalty` runs where the impact penalty is on.",
-        "",
-        "Integrity: final scores marked *CPU-verified* were re-computed by",
-        "restoring the run's last checkpoint in a CPU process and replaying",
-        "the frozen suite there (`scripts/cpu_verify_finals.py`).  This",
-        "cross-check exists because on 2026-08-17 a degrading remote TPU",
-        "returned all-zero goal scores at full speed, fabricating perfect",
-        "prune-task results; those runs were quarantined and retrained, and",
-        "the trainer now hard-aborts on such corruption",
-        "(`safelife_tpu/utils/integrity.py`).  Accelerator-computed curve",
-        "points from a degraded window can read low for append tasks (a",
-        "zeroed score floors the eval at 0), so the CPU-verified final is",
-        "authoritative where the two disagree.",
-        "",
-    ]
+
+def merge_archive(archive_path, runs, cpu_finals):
+    """Merge fresh runs over the archived ones; persist; return merged."""
+    arch = {"runs": {}, "cpu_finals": {}, "notes": {}}
+    if os.path.exists(archive_path):
+        with open(archive_path) as fh:
+            arch = json.load(fh)
+        arch.setdefault("notes", {})
+    merged = {t: {int(s): r for s, r in seeds.items()}
+              for t, seeds in arch.get("runs", {}).items()}
+    for task, seeds in runs.items():
+        merged.setdefault(task, {}).update(seeds)
+    cpu = dict(arch.get("cpu_finals", {}))
+    cpu.update(cpu_finals)
+    arch["runs"] = merged
+    arch["cpu_finals"] = cpu
+    os.makedirs(os.path.dirname(archive_path) or ".", exist_ok=True)
+    with open(archive_path, "w") as fh:
+        json.dump(arch, fh, indent=1, sort_keys=True)
+    return merged, cpu, arch.get("notes", {})
+
+
+def emit_safety_summary(lines, runs, cpu):
+    import numpy as np
+
+    pairs = []
+    for task in sorted(runs):
+        m = re.match(r"(.+)\+penalty([\d.]+)$", task)
+        if m and m.group(1) in runs:
+            pairs.append((m.group(1), task, m.group(2)))
+    if not pairs:
+        return
+
+    def final(task, field):
+        vals = [rows[-1][field] for rows in runs[task].values()
+                if rows[-1].get(field) is not None]
+        return np.mean(vals) if vals else None
+
+    def cpu_final(task, metric):
+        vals = [cpu[f"{task}-s{s}"][metric] for s in runs[task]
+                if f"{task}-s{s}" in cpu]
+        return np.mean(vals) if vals else final(task, metric)
+
+    lines.append(SAFETY_PROSE)
+    lines.append("| task | perf (penalty 0) | side effects (penalty 0) | "
+                 "perf (+penalty) | side effects (+penalty) | "
+                 "side-effect reduction |")
+    lines.append("|---|---|---|---|---|---|")
+    for base, pen, _amt in pairs:
+        metric = metric_for(base)
+        b_p, b_e = cpu_final(base, metric), final(base, "side_effects")
+        p_p, p_e = cpu_final(pen, metric), final(pen, "side_effects")
+        red = f"**-{(1 - p_e / b_e) * 100:.0f}%**" if b_e and p_e else "—"
+        lines.append(
+            f"| {base} | {b_p:.3f} | {b_e:.1f} | {p_p:.3f} | {p_e:.1f} "
+            f"| {red} |")
+    lines.append("")
+
+
+def main(run_dir, out="RESULTS.md", archive_path=None):
+    import numpy as np
+
+    if archive_path is None:
+        archive_path = os.path.join(
+            os.path.dirname(os.path.abspath(out)), "results", "curves.json")
+
+    runs_new, cpu_new = load_runs(run_dir)
+    runs, cpu_finals, notes = merge_archive(archive_path, runs_new, cpu_new)
+
+    lines = [HEADER]
+    emit_safety_summary(lines, runs, cpu_finals)
     for task in sorted(runs):
         seeds = runs[task]
         lines.append(f"## {task} ({len(seeds)} seeds)")
         lines.append("")
-        metric = "mean_reward" if task == "navigation" else "mean_perf"
+        metric = metric_for(task)
         lines.append("| step | " + " | ".join(
             f"seed {s} {metric}" for s in sorted(seeds)) +
             " | mean ± std | length | side effects |")
@@ -135,12 +226,16 @@ def main(run_dir, out="RESULTS.md"):
                 f"**CPU-verified final {metric}: {np.mean(cpu):.3f} ± "
                 f"{np.std(cpu):.3f}** "
                 f"(seeds: {', '.join(f'{f:.3f}' for f in cpu)})")
+        if task in notes:
+            lines.append("")
+            lines.append(f"*{notes[task]}*")
         lines.append("")
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print("wrote", out)
+    print("wrote", out, "and", archive_path)
 
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/runs",
-         sys.argv[2] if len(sys.argv) > 2 else "RESULTS.md")
+         sys.argv[2] if len(sys.argv) > 2 else "RESULTS.md",
+         sys.argv[3] if len(sys.argv) > 3 else None)
