@@ -48,11 +48,6 @@ class EnvConfig:
     can_toggle_colors: bool = False
     compute_obs: bool = True
     use_pallas: bool = True  # fused CA kernel on TPU (fast path only)
-    # Run the agent action inside the advance kernel (single-kernel step)
-    # instead of a separate action kernel: the post-action board never
-    # round-trips HBM.  Bit-identical to the two-kernel path (tested);
-    # default off until the on-chip timing decides.
-    merge_kernels: bool = False
     # Force the fused Pallas path in interpret mode (TPU emulation on any
     # backend) — CI uses this to test the kernels bit-for-bit on CPU.
     pallas_interpret: bool = False
@@ -264,8 +259,7 @@ class BatchedSafeLifeEnv:
                 obs_view=cfg.view_shape if kernel_obs else None,
                 exit_row=state.exit_row, exit_col=state.exit_col,
                 exit_valid=state.exit_valid, exit_gcol=state.exit_gcol,
-                remove_white_goals=cfg.remove_white_goals,
-                merge_action=cfg.merge_kernels)
+                remove_white_goals=cfg.remove_white_goals)
             (board, goals, agent_row, agent_col, orientation, exited,
              points, comp1, poss1, ce1, effect_count) = out[:11]
             if cfg.auto_reset:

@@ -84,10 +84,12 @@ def _apply_action(board, si_ref):
     """Agent action execution on one (H, W, L) int32 block.
 
     Reads the action/agent scalars from ``si_ref`` rows 0-5 and returns
-    ``(board', agent_row', agent_col', orientation', exited)`` — the body
-    shared by the standalone action kernel and the merged single-kernel
-    step (``merge_action=True``), where fusing it into the advance kernel
-    saves the intermediate board's HBM write + read and a dispatch.
+    ``(board', agent_row', agent_col', orientation', exited)``.  Folding
+    this into the advance kernel (saving the post-action board's HBM
+    round-trip) was tried and measured SLOWER on chip at the bench batch
+    (stress 7129 -> 7630 us/step, append-dynamic 6178 -> 6788, B=65536,
+    2026-08-19): the merged kernel's extra VMEM pressure costs more in
+    lost double-buffering than the dispatch + round-trip it saves.
     """
     h, w, lanes = board.shape
 
@@ -246,8 +248,7 @@ def _obs_view_block(combined, ar, ac, obs_view, exit_r, exit_c, exit_v,
 
 def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
                     time_limit=0, spawnless=False, simple_goals=False,
-                    obs_view=None, num_exits=0, remove_white_goals=True,
-                    merge_action=False):
+                    obs_view=None, num_exits=0, remove_white_goals=True):
     """CA advance + scoring + exit recolor, optionally folding the
     auto-reset select into the same write pass (``time_limit > 0``): the
     episode's done flag is computable in-kernel (times_up | game_over |
@@ -255,10 +256,7 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
     separate full-array select outside.  With ``obs_view`` set (fold path
     only), the packed agent-centered observation is emitted from the same
     VMEM residency — the boards never make a second HBM round-trip for
-    observation extraction.  With ``merge_action=True`` the agent action
-    (:func:`_apply_action`) runs in the same kernel on the pre-action
-    board — no separate action kernel, so the post-action board never
-    round-trips HBM; the action outputs are emitted via ``out_act_ref``."""
+    observation extraction."""
     do_reset = time_limit > 0
     emit_obs = obs_view is not None
     assert not emit_obs or do_reset
@@ -267,8 +265,8 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
     # the state already tracks) — the kernel streams exactly three
     # live boards + three fresh boards, static or dynamic goals alike.
     refs = list(refs)
-    act_ref = obs_i_ref = out_obs_ref = out_act_ref = None
-    if do_reset and not merge_action:
+    act_ref = obs_i_ref = out_obs_ref = None
+    if do_reset:
         act_ref = refs.pop(0)
     if emit_obs:
         obs_i_ref = refs.pop(0)
@@ -283,19 +281,12 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
         out_ib_ref = refs.pop(0)
     if emit_obs:
         out_obs_ref = refs.pop(0)
-    if merge_action:
-        out_act_ref = refs.pop(0)
     (out_i_ref,) = refs
     h, w, lanes = board_ref.shape
     baseline = si_ref[6, :]
     min_perf = sf_ref[1, :]
 
     board_in = board_ref[:].astype(jnp.int32)
-    if merge_action:
-        # Values stay in u16 range, so skipping the standalone kernel's
-        # uint16 round-trip is bit-exact.
-        board_in, m_ar, m_ac, m_orient, m_exited = _apply_action(
-            board_in, si_ref)
 
     # ---- CA advance -------------------------------------------------------
     # Paired advances share one presence stencil between the two boards
@@ -370,7 +361,7 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
 
     if do_reset:
         episode_length = si_ref[7, :] + 1
-        exited = m_exited if merge_action else act_ref[3, :] != 0
+        exited = act_ref[3, :] != 0
         game_over = (si_ref[4, :] != 0) | exited
         done = (episode_length > time_limit) | game_over
 
@@ -405,8 +396,8 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
                 k = num_exits
                 sel = lambda f, l: jnp.where(done, f, l) \
                     if resetting else l  # noqa: E731
-                live_ar = m_ar if merge_action else act_ref[0, :]
-                live_ac = m_ac if merge_action else act_ref[1, :]
+                live_ar = act_ref[0, :]
+                live_ac = act_ref[1, :]
                 ar = sel(obs_i_ref[0, :], live_ar)
                 ac = sel(obs_i_ref[1, :], live_ac)
                 rows = lambda base, stride=3: [  # noqa: E731
@@ -455,11 +446,6 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
             out_goals_ref[:] = goals_ref[:]
         else:
             out_goals_ref[:] = goals.astype(jnp.uint16)
-    if merge_action:
-        out_act_ref[0, :] = m_ar
-        out_act_ref[1, :] = m_ac
-        out_act_ref[2, :] = m_orient
-        out_act_ref[3, :] = m_exited.astype(jnp.int32)
     out_i_ref[0, :] = points
     out_i_ref[1, :] = comp
     out_i_ref[2, :] = poss
@@ -470,7 +456,7 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
 @partial(jax.jit, static_argnames=("interpret", "static_goals",
                                    "time_limit", "spawnless",
                                    "simple_goals", "obs_view",
-                                   "remove_white_goals", "merge_action"))
+                                   "remove_white_goals"))
 def fused_step(board, goals, init_board, action, agent_row, agent_col,
                orientation, game_over, can_exit0, baseline_score,
                spawn_prob, min_performance, seed, interpret=False,
@@ -479,8 +465,7 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
                simple_goals=False, obs_view=None,
                exit_row=None, exit_col=None, exit_valid=None,
                exit_gcol=None,
-               remove_white_goals=True, perf_possible=None,
-               merge_action=False):
+               remove_white_goals=True, perf_possible=None):
     """Run the fused env-step core.  All per-env args are (B,) with
     B % 128 == 0; boards are (H, W, B) uint16.
 
@@ -531,22 +516,15 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
     sf = jnp.stack([jnp.asarray(spawn_prob, jnp.float32),
                     jnp.asarray(min_performance, jnp.float32)])
 
-    if merge_action:
-        # Single-kernel step: the action runs inside the advance kernel on
-        # the pre-action board (the post-action board never touches HBM);
-        # the act scalars come back as an extra (4, B) kernel output.
-        board1 = board
-        act_specs, act_args = [], []
-    else:
-        board1, act_i = pl.pallas_call(
-            _action_kernel,
-            grid=grid,
-            in_specs=[lane_spec(9), board_spec],
-            out_specs=(board_spec, lane_spec(4)),
-            out_shape=(bshape, jax.ShapeDtypeStruct((4, b), jnp.int32)),
-            interpret=interpret,
-        )(si, board)
-        act_specs, act_args = [lane_spec(4)], [act_i]
+    board1, act_i = pl.pallas_call(
+        _action_kernel,
+        grid=grid,
+        in_specs=[lane_spec(9), board_spec],
+        out_specs=(board_spec, lane_spec(4)),
+        out_shape=(bshape, jax.ShapeDtypeStruct((4, b), jnp.int32)),
+        interpret=interpret,
+    )(si, board)
+    act_specs, act_args = [lane_spec(4)], [act_i]
 
     emit_obs = obs_view is not None and time_limit > 0
     num_exits = exit_row.shape[0] if emit_obs else 0
@@ -555,8 +533,7 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
                    simple_goals=simple_goals,
                    obs_view=obs_view if emit_obs else None,
                    num_exits=num_exits,
-                   remove_white_goals=remove_white_goals,
-                   merge_action=merge_action)
+                   remove_white_goals=remove_white_goals)
     common = [pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
               lane_spec(9), lane_spec(2)]
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -587,10 +564,6 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
                                       memory_space=pltpu.VMEM)]
         obs_out_shape = [jax.ShapeDtypeStruct((vh, vw, b), jnp.uint16)]
 
-    act_out_specs = [lane_spec(4)] if merge_action else []
-    act_out_shape = [jax.ShapeDtypeStruct((4, b), jnp.int32)] \
-        if merge_action else []
-
     if time_limit > 0:
         # Three live boards + three fresh boards in, three boards out —
         # static and dynamic goals alike (the state carries no init_goals
@@ -601,9 +574,8 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
             in_specs=common + act_specs + obs_in_specs
             + [board_spec] * 6,
             out_specs=tuple([board_spec] * 3 + obs_out_specs
-                            + act_out_specs + [lane_spec(8)]),
+                            + [lane_spec(8)]),
             out_shape=tuple([bshape] * 3 + obs_out_shape
-                            + act_out_shape
                             + [jax.ShapeDtypeStruct((8, b), jnp.int32)]),
             compiler_params=params,
             interpret=interpret,
@@ -611,8 +583,6 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
           fresh["board"], fresh["goals"], fresh["init_board"])
         out_board, out_goals, out_ib, *rest = outs
         adv_i = rest[-1]
-        if merge_action:
-            act_i = rest[-2]
         ret = (out_board, out_goals, act_i[0], act_i[1], act_i[2],
                act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
                adv_i[3].astype(bool), adv_i[4], out_ib)
@@ -622,18 +592,13 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
         kern,
         grid=grid,
         in_specs=common + [board_spec] * 3,
-        out_specs=tuple([board_spec, board_spec] + act_out_specs
-                        + [lane_spec(8)]),
-        out_shape=tuple([bshape, bshape] + act_out_shape
-                        + [jax.ShapeDtypeStruct((8, b), jnp.int32)]),
+        out_specs=(board_spec, board_spec, lane_spec(8)),
+        out_shape=(bshape, bshape,
+                   jax.ShapeDtypeStruct((8, b), jnp.int32)),
         compiler_params=params,
         interpret=interpret,
     )(seed_arr, si, sf, board1, goals, init_board)
-    out_board, out_goals, *rest = outs
-    adv_i = rest[-1]
-    if merge_action:
-        act_i = rest[-2]
-
+    out_board, out_goals, adv_i = outs
     return (out_board, out_goals, act_i[0], act_i[1], act_i[2],
             act_i[3].astype(bool), adv_i[0], adv_i[1], adv_i[2],
             adv_i[3].astype(bool), adv_i[4])

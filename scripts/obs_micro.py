@@ -8,7 +8,8 @@ c) 3x3 torus neighbor-sum stencil at i32 vs u16 vs u8 element width —
    does narrow arithmetic raise element density per VPU pass, and does
    4 x u8 planes beat 1 x packed-i32 (field extraction for free)?
 d) end-to-end step with the single-kernel merged step
-   (EnvConfig.merge_kernels) on vs off.
+   (historical: the merged single-kernel step lost on chip and was
+   removed 2026-08-19).
 """
 import time
 
@@ -175,8 +176,6 @@ def main():
         bank = synth.synth_bank(64)
     for name, cfg in [
         ("step obs default", EnvConfig(view_shape=(15, 15))),
-        ("step merge_kernels", EnvConfig(view_shape=(15, 15),
-                                         merge_kernels=True)),
     ]:
         env = BatchedSafeLifeEnv(cfg)
         key = jax.random.PRNGKey(0)

@@ -3,7 +3,8 @@
 Times, at the bench batch (65536) on the synthetic stress bank (spawners on
 BOTH boards, so both CA advances run the full rule with live PRNG):
 
-  a) full env step, merge_kernels off vs on;
+  a) full env step (the merged single-kernel variant lost on chip
+     and was removed 2026-08-19);
   b) advance_both alone (full rule + 2 in-core spawn draws);
   c) advance_both with spawn masked off (spawnless rule pair) — isolates
      the PRNG + spawn-select cost;
@@ -86,8 +87,6 @@ def main():
                               dynamic_goals=True)
     for name, cfg in [
         ("stress step default", EnvConfig(view_shape=(15, 15))),
-        ("stress step merge_kernels", EnvConfig(view_shape=(15, 15),
-                                                merge_kernels=True)),
     ]:
         env = BatchedSafeLifeEnv(cfg)
         run, state, key = step_loop(env, stress)
@@ -108,8 +107,6 @@ def main():
             continue
         for label, cfg in [
             (f"{suite} step default", EnvConfig(view_shape=(15, 15))),
-            (f"{suite} step merge_kernels",
-             EnvConfig(view_shape=(15, 15), merge_kernels=True)),
         ]:
             env = BatchedSafeLifeEnv(cfg)
             run, state, key = step_loop(env, bank2)

@@ -376,42 +376,3 @@ def test_env_step_fused_equals_xla(suite, view):
                 a[k], b[k], err_msg=f"step {t}, field {k}")
 
 
-@pytest.mark.parametrize("suite", [
-    "benchmarks/v1.0/append-still",   # static goals, spawnless
-    "benchmarks/v1.0/append-dynamic",  # simple-goals advance
-])
-def test_env_step_merged_kernel(suite):
-    """merge_kernels=True (action folded into the advance kernel, no
-    intermediate board HBM round-trip) must be bit-identical to the
-    two-kernel fused path over a multi-episode rollout."""
-    bank = loader.load_bank(suite)
-    assert not (np.asarray(bank.board) & C.SPAWNING).any()
-    actions = np.random.RandomState(21).randint(0, 9, (10, B))
-    cfg = dict(time_limit=5, auto_reset=True, view_shape=(15, 15),
-               pallas_interpret=True)
-    split = _rollout(BatchedSafeLifeEnv(EnvConfig(**cfg)), bank, actions)
-    merged = _rollout(
-        BatchedSafeLifeEnv(EnvConfig(merge_kernels=True, **cfg)),
-        bank, actions)
-    for t, (a, b) in enumerate(zip(split, merged)):
-        for k in a:
-            np.testing.assert_array_equal(
-                a[k], b[k], err_msg=f"step {t}, field {k}")
-
-
-def test_merged_kernel_no_reset_path():
-    """merge_action=True on the time_limit=0 kernel (no reset fold)."""
-    rng = np.random.RandomState(55)
-    (board, goals, init_board, action, ar, ac, orient,
-     game_over, ce0, baseline, min_perf) = _random_step_inputs(rng)
-    zero_p = np.zeros(B, np.float32)
-    args = (jnp.asarray(board), jnp.asarray(goals), jnp.asarray(init_board),
-            jnp.asarray(action), jnp.asarray(ar), jnp.asarray(ac),
-            jnp.asarray(orient), jnp.asarray(game_over), jnp.asarray(ce0),
-            jnp.asarray(baseline), jnp.asarray(zero_p), jnp.asarray(min_perf))
-    base = env_step_pallas.fused_step(*args, seed=3, interpret=INTERP)
-    merged = env_step_pallas.fused_step(*args, seed=3, interpret=INTERP,
-                                        merge_action=True)
-    for i, (x, y) in enumerate(zip(base, merged)):
-        np.testing.assert_array_equal(
-            np.asarray(x), np.asarray(y), err_msg=f"out {i}")
