@@ -49,6 +49,14 @@ destabilizing patterns indiscriminately; read those numbers
 together with the side-effects column, and compare the
 `+penalty` runs where the impact penalty is on.
 
+Side-effect scores are entropic-OT (Sinkhorn, eps=0.02) approximations
+of the reference's exact EMD; the approximation is validated PER SUITE
+against the exact LP solver on every level with a random policy
+(`scripts/validate_sinkhorn.py`, artifact
+`results/sinkhorn_validation.json`): mean relative error on the
+per-episode total score is 0.2-0.4% (p95 <= 1%) on every suite — far
+inside the 5% bound the design doc states.
+
 Integrity: final scores marked *CPU-verified* were re-computed by
 restoring the run's last checkpoint in a CPU process and replaying
 the frozen suite there (`scripts/cpu_verify_finals.py`).  This
