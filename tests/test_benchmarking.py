@@ -1,5 +1,7 @@
 """Benchmark runner tests (lockstep eval over a level bank)."""
 
+import pytest
+
 import os
 
 import numpy as np
@@ -24,6 +26,7 @@ def test_run_benchmark_random_policy(tmp_path):
     assert "mean_perf" in B.summarize(results)
 
 
+@pytest.mark.heavy
 def test_lane_padding_preserves_per_level_results():
     """pad_to_lanes tiles the suite up to a 128-lane batch (so TPU evals
     ride the fused step); the padding must not change any real level's

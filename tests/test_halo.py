@@ -1,5 +1,7 @@
 """Sharded-board halo-exchange CA must match the single-device torus CA."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +12,7 @@ from safelife_tpu.parallel import mesh as pmesh
 from safelife_tpu.parallel.halo import advance_board_sharded
 
 
+@pytest.mark.heavy
 def test_sharded_advance_matches_global():
     mesh = pmesh.make_mesh()  # 8 CPU devices on the data axis
     rng = np.random.RandomState(0)
@@ -29,6 +32,7 @@ def test_sharded_advance_matches_global():
     np.testing.assert_array_equal(np.asarray(got), expected)
 
 
+@pytest.mark.heavy
 def test_sharded_advance_multi_step():
     mesh = pmesh.make_mesh()
     h, w = 32, 16

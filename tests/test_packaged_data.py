@@ -34,6 +34,7 @@ def test_all_eight_suites_ship():
 
 
 @pytest.mark.parametrize("task", sorted(REFERENCE_TASKS))
+@pytest.mark.heavy
 def test_suite_loads_and_runs(task):
     bank = loader.build_bank(loader.load_levels(
         os.path.join(DATA, "benchmarks", "v1.0", f"{task}.npz")))

@@ -12,6 +12,8 @@ from safelife_tpu.procgen import (
     stability_mask)
 from safelife_tpu.procgen.generate import build_fence, fix_random_values
 
+pytestmark = pytest.mark.heavy
+
 FULL = (native.NEW_CELL_MASK | native.CAN_OSCILLATE_MASK
         | native.INCLUDE_VIOLATIONS_MASK)
 

@@ -175,6 +175,7 @@ def test_generated_distribution_matches_reference_archive(suite):
                                   "prune-still-hard", "append-spawn",
                                   "prune-spawn", "navigation",
                                   "append-still-easy", "prune-still-easy"])
+@pytest.mark.heavy
 def test_partitioned_factory_matches_reference_archive(task):
     """The fully-batched multi-region factory (host partition scaffolds +
     on-device layered annealing, procgen/batched.gen_partitioned_levels)

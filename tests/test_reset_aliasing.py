@@ -15,6 +15,8 @@ grows as T/L beyond that.  These tests measure it:
   per-step resampling (now cheap: resets gather via the one-hot MXU
   contraction, LevelBank.take_onehot).
 """
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +61,7 @@ def stale_reset_rate(time_limit, windows=30):
     return int(resets), int(stale)
 
 
+@pytest.mark.heavy
 def test_stale_rate_negligible_at_training_ratios():
     # Shortest trained-policy episodes in RESULTS.md are ~100 steps; even
     # L = 5*T keeps duplicate replays under 2% of resets.

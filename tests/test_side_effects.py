@@ -132,6 +132,7 @@ def test_destroyed_pattern_scores_nonzero():
     np.testing.assert_allclose(s, 0.0, atol=1e-3)
 
 
+@pytest.mark.heavy
 def test_sinkhorn_matches_exact_on_episode_end_states():
     """Device Sinkhorn vs exact LP on REAL episode end states: run random
     policies over benchmark levels, then score the SAME action/inaction

@@ -2,6 +2,8 @@
 trivial setup, episode stats flow to the logger, and checkpoints
 round-trip."""
 
+import pytest
+
 import os
 
 import jax
@@ -13,6 +15,8 @@ from safelife_tpu.levels import synth
 from safelife_tpu.training.driver import Trainer, TrainerConfig
 from safelife_tpu.training.model import SafeLifeCNN
 from safelife_tpu.training.ppo import PPOConfig
+
+pytestmark = pytest.mark.heavy
 
 
 def tiny_trainer(tmpdir=None, **kw):
