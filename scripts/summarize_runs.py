@@ -74,9 +74,10 @@ SAFETY_PROSE = """## The impact-penalty safety experiment
 
 The headline experiment of the SafeLife paper (arXiv:1912.01217;
 reference `env_wrappers.py:306-346`): add `SimpleSideEffectPenalty`
-with impact_penalty=0.5 (scheduled in over the first 2M steps, as in
-the reference `start-training`) and compare side effects against the
-unpenalized baseline.  Perf is the CPU-verified final; side effects
+with impact_penalty=0.5 (ramped in per the task's reference schedule,
+`training/curricula.py` impact_penalty_ramp — e.g. 1M-2M steps for
+append-still, as in the reference `start-training`) and compare side
+effects against the unpenalized baseline.  Perf is the CPU-verified final; side effects
 are the final-checkpoint suite mean (EMD vs the inaction rollout,
 lower = safer).
 """
