@@ -246,9 +246,10 @@ def _obs_view_block(combined, ar, ac, obs_view, exit_r, exit_c, exit_v,
     return view
 
 
-def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
+def _advance_kernel(*all_refs, static_goals,
                     time_limit=0, spawnless=False, simple_goals=False,
-                    obs_view=None, num_exits=0, remove_white_goals=True):
+                    obs_view=None, num_exits=0, remove_white_goals=True,
+                    reset_prefetch=False):
     """CA advance + scoring + exit recolor, optionally folding the
     auto-reset select into the same write pass (``time_limit > 0``): the
     episode's done flag is computable in-kernel (times_up | game_over |
@@ -257,6 +258,11 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
     only), the packed agent-centered observation is emitted from the same
     VMEM residency — the boards never make a second HBM round-trip for
     observation extraction."""
+    # With reset_prefetch the first ref is the scalar-prefetched
+    # per-block resets flag (consumed by the fresh specs' index_maps;
+    # the body itself recomputes done per lane).
+    seed_ref, si_ref, sf_ref, *refs = \
+        all_refs[1:] if reset_prefetch else all_refs
     do_reset = time_limit > 0
     emit_obs = obs_view is not None
     assert not emit_obs or do_reset
@@ -372,7 +378,13 @@ def _advance_kernel(seed_ref, si_ref, sf_ref, *refs, static_goals,
             the non-resetting branch writes the step results directly
             and skips the select passes.  At time_limit=1000 a block has
             a resetting lane on ~12% of steps, so ~88% of blocks take
-            the cheap branch (bit-identical by construction)."""
+            the cheap branch (bit-identical by construction).  The fresh
+            blocks are fetched only when this block resets (their
+            dynamic index_map sends every non-resetting block to block 0
+            and the pipeline skips refetching an unchanged block), so the
+            cheap branch also skips their 3 full HBM board reads — the
+            largest single stream cost of the fold path; it must not
+            touch fb/fg/fib (their VMEM holds another block's data)."""
             m = done[None, None, :]
             if resetting:
                 out_board_ref[:] = jnp.where(
@@ -568,18 +580,49 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
         # Three live boards + three fresh boards in, three boards out —
         # static and dynamic goals alike (the state carries no init_goals
         # leaf; bank.goals[level_idx] recovers the original goal board).
-        outs = pl.pallas_call(
-            kern,
+        # The fresh boards are only USED by blocks that reset a lane, so
+        # their fetch is gated: a scalar-prefetched per-block resets flag
+        # drives their index_map — resetting blocks fetch their own
+        # block, all others point at block 0, and the pipeline skips
+        # refetching an unchanged block.  Non-resetting steps (the vast
+        # majority at time_limit=1000) skip 3 full-board HBM reads, the
+        # largest stream cost of the fold path.
+        done_out = (jnp.asarray(episode_length, jnp.int32) + 1
+                    > time_limit) | game_over | (act_i[3] != 0)
+        resets = done_out.reshape(b // block, block).any(axis=1) \
+            .astype(jnp.int32)
+
+        def with_prefetch(spec):
+            if spec.index_map is None:  # whole-array spec (e.g. SMEM seed)
+                return spec
+            return pl.BlockSpec(
+                spec.block_shape,
+                lambda i, r, _m=spec.index_map: _m(i),
+                memory_space=pltpu.VMEM)
+
+        fresh_spec = pl.BlockSpec(
+            (h, w, block),
+            lambda i, r: (0, 0, jnp.where(r[i] != 0, i, 0)),
+            memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=grid,
-            in_specs=common + act_specs + obs_in_specs
-            + [board_spec] * 6,
-            out_specs=tuple([board_spec] * 3 + obs_out_specs
-                            + [lane_spec(8)]),
+            in_specs=[with_prefetch(sp) for sp in
+                      common + act_specs + obs_in_specs
+                      + [board_spec] * 3] + [fresh_spec] * 3,
+            out_specs=tuple([with_prefetch(sp) for sp in
+                             [board_spec] * 3 + obs_out_specs
+                             + [lane_spec(8)]]),
+        )
+        outs = pl.pallas_call(
+            partial(kern, reset_prefetch=True),
+            grid_spec=grid_spec,
             out_shape=tuple([bshape] * 3 + obs_out_shape
                             + [jax.ShapeDtypeStruct((8, b), jnp.int32)]),
             compiler_params=params,
             interpret=interpret,
-        )(seed_arr, si, sf, *act_args, *obs_in, board1, goals, init_board,
+        )(resets, seed_arr, si, sf, *act_args, *obs_in,
+          board1, goals, init_board,
           fresh["board"], fresh["goals"], fresh["init_board"])
         out_board, out_goals, out_ib, *rest = outs
         adv_i = rest[-1]
