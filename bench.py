@@ -133,18 +133,27 @@ def selftest(bank):
     #    kernel (lane-padded benchmark evals).
     assert not (np.asarray(bank.board) & C.SPAWNING).any()
     actions = np.random.RandomState(9).randint(0, 9, (12, b))
-    for cfg in (dict(time_limit=6, auto_reset=True),
-                dict(time_limit=20, auto_reset=False)):
-        tr_fused = _rollout_trace(
-            BatchedSafeLifeEnv(EnvConfig(**cfg)), bank, actions, b)
-        tr_xla = _rollout_trace(
-            BatchedSafeLifeEnv(EnvConfig(use_pallas=False, **cfg)),
-            bank, actions, b)
-        for t, (a, x) in enumerate(zip(tr_fused, tr_xla)):
-            for k in a:
-                np.testing.assert_array_equal(
-                    a[k], x[k],
-                    err_msg=f"fused!=xla at step {t}, field {k}, cfg {cfg}")
+    # Second fixture: GOAL boards with spawners at spawn_prob=0 — takes
+    # the two-stencil spawn-simple pair path (the stress-bench kernel)
+    # deterministically, so it bit-compares against XLA too.
+    gs_bank = synth.synth_bank(8, h=26, w=26, spawners=False,
+                               dynamic_goals=True)
+    assert gs_bank.spawn_simple_goals and not gs_bank.simple_goals
+    assert float(np.asarray(gs_bank.spawn_prob).max()) == 0.0
+    for test_bank in (bank, gs_bank):
+        for cfg in (dict(time_limit=6, auto_reset=True),
+                    dict(time_limit=20, auto_reset=False)):
+            tr_fused = _rollout_trace(
+                BatchedSafeLifeEnv(EnvConfig(**cfg)), test_bank, actions, b)
+            tr_xla = _rollout_trace(
+                BatchedSafeLifeEnv(EnvConfig(use_pallas=False, **cfg)),
+                test_bank, actions, b)
+            for t, (a, x) in enumerate(zip(tr_fused, tr_xla)):
+                for k in a:
+                    np.testing.assert_array_equal(
+                        a[k], x[k],
+                        err_msg=f"fused!=xla at step {t}, field {k}, "
+                                f"cfg {cfg}")
 
     # 2. In-core PRNG: seed-deterministic, seed-sensitive, correct rate.
     h = w = 8

@@ -252,6 +252,7 @@ class BatchedSafeLifeEnv:
                 static_goals=bank.static_goals,
                 spawnless=bank.spawnless,
                 simple_goals=bank.simple_goals,
+                spawn_simple_goals=bank.spawn_simple_goals,
                 perf_possible=state.perf_possible,
                 episode_length=state.episode_length,
                 fresh=fresh,

@@ -94,6 +94,15 @@ class LevelBank(struct.PyTreeNode):
     # at bank build certifies every reachable state.  All the *-dynamic
     # suites qualify.  Irrelevant when static_goals.
     simple_goals: bool = struct.field(pytree_node=False, default=False)
+    # True when every goal board is free of PRESERVING/INHIBITING/EXIT
+    # bits but MAY contain spawners (strictly weaker than simple_goals).
+    # The fused step then advances the board+goals pair with two packed
+    # neighbor-sum stencils instead of three: the board word carries its
+    # own presence fields and both boards' spawner-presence counts ride
+    # the goal word's free bits (ops/life_pallas._advance_pair_spawn-
+    # simple).  Inductive like simple_goals: spawned/born cells only add
+    # ALIVE|DESTRUCTIBLE|colors, and frozen spawners never change.
+    spawn_simple_goals: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_levels(self):

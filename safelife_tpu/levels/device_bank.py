@@ -17,12 +17,13 @@ from ..ops import scoring
 
 
 @partial(jax.jit, static_argnames=("max_exits", "static_goals",
-                                   "spawnless", "simple_goals"))
+                                   "spawnless", "simple_goals",
+                                   "spawn_simple_goals"))
 def build_bank_from_arrays(board, goals, agent_row, agent_col,
                            orientation=None, spawn_prob=None,
                            min_performance=-1.0, max_exits=4,
                            static_goals=False, spawnless=False,
-                           simple_goals=False):
+                           simple_goals=False, spawn_simple_goals=None):
     """Assemble a LevelBank from (H, W, N) device arrays.
 
     ``static_goals`` / ``spawnless`` must be asserted by the caller (they
@@ -61,4 +62,7 @@ def build_bank_from_arrays(board, goals, agent_row, agent_col,
         exit_row=er, exit_col=ec, exit_valid=ev, exit_gcol=exit_gcol,
         baseline_score=baseline, possible0=possible0, points0=points0,
         can_exit0=can_exit0, static_goals=static_goals,
-        spawnless=spawnless, simple_goals=simple_goals)
+        spawnless=spawnless, simple_goals=simple_goals,
+        # simple_goals implies the weaker spawn-simple certification.
+        spawn_simple_goals=(simple_goals if spawn_simple_goals is None
+                            else spawn_simple_goals))

@@ -141,6 +141,13 @@ def build_bank(levels, max_exits=4):
 
     from ..ops import life_numpy
 
+    # Trim the exit table to the bank's REAL maximum (>= 1 slot): every
+    # exit slot costs the fused obs path a masked board reduction (dynamic
+    # goals) or a perimeter write per step, and SafeLife levels carry
+    # exactly one exit (proc_gen.py places one; the shipped archives all
+    # have <= 1), so the default 4-slot table wastes 3/4 of that work.
+    n_exits = max(int(((lv["board"] & C.EXIT) != 0).sum()) for lv in levels)
+    max_exits = max(1, min(max_exits, n_exits))
     exits = [find_exits_np(lv["board"], max_exits) for lv in levels]
     exit_gcol = [
         np.where(e[2], (lv["goals"][e[0], e[1]].astype(np.int32)
@@ -177,10 +184,16 @@ def build_bank(levels, max_exits=4):
     # goal boards certifies every reachable state.
     forbidden = C.PRESERVING | C.INHIBITING | C.SPAWNING | C.EXIT
     simple_goals = not bool((goals_np & forbidden).any())
+    # Weaker certification: spawners allowed on goals, but no PRESERVING/
+    # INHIBITING/EXIT — the fused step then advances the pair with two
+    # packed stencils instead of three (see LevelBank.spawn_simple_goals).
+    spawn_simple = not bool(
+        (goals_np & (C.PRESERVING | C.INHIBITING | C.EXIT)).any())
 
     return LevelBank(
         spawnless=bool(spawnless),
         simple_goals=simple_goals,
+        spawn_simple_goals=spawn_simple,
         board=jnp.asarray(board_np),
         goals=jnp.asarray(goals_np),
         agent_row=stack("agent_row"),

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import cells as C
 from .life_pallas import (LANES, _advance_block, _advance_pair,
+                          _advance_pair_spawnsimple,
                           _advance_with_simple_goals, _spawn_field,
                           _spawn_field_pair)
 
@@ -248,6 +249,7 @@ def _obs_view_block(combined, ar, ac, obs_view, exit_r, exit_c, exit_v,
 
 def _advance_kernel(*all_refs, static_goals,
                     time_limit=0, spawnless=False, simple_goals=False,
+                    spawn_simple_goals=False,
                     obs_view=None, num_exits=0, remove_white_goals=True,
                     reset_prefetch=False):
     """CA advance + scoring + exit recolor, optionally folding the
@@ -321,6 +323,13 @@ def _advance_kernel(*all_refs, static_goals,
         # the full rule on such boards.
         board, goals = _advance_with_simple_goals(
             board_in, spawn_b, goals_ref[:].astype(jnp.int32))
+    elif spawn_simple_goals:
+        # Goal boards with spawners but certified free of PRESERVING/
+        # INHIBITING/EXIT (the goal-spawner stress case): two stencils
+        # instead of the general pair's three — bit-exact vs the full
+        # rule on such boards (tests/test_fused_step.py).
+        board, goals = _advance_pair_spawnsimple(
+            board_in, spawn_b, goals_ref[:].astype(jnp.int32), spawn_g)
     else:
         board, goals = _advance_pair(
             board_in, spawn_b, goals_ref[:].astype(jnp.int32), spawn_g)
@@ -467,14 +476,14 @@ def _advance_kernel(*all_refs, static_goals,
 
 @partial(jax.jit, static_argnames=("interpret", "static_goals",
                                    "time_limit", "spawnless",
-                                   "simple_goals", "obs_view",
-                                   "remove_white_goals"))
+                                   "simple_goals", "spawn_simple_goals",
+                                   "obs_view", "remove_white_goals"))
 def fused_step(board, goals, init_board, action, agent_row, agent_col,
                orientation, game_over, can_exit0, baseline_score,
                spawn_prob, min_performance, seed, interpret=False,
                static_goals=False, episode_length=None,
                fresh=None, time_limit=0, spawnless=False,
-               simple_goals=False, obs_view=None,
+               simple_goals=False, spawn_simple_goals=False, obs_view=None,
                exit_row=None, exit_col=None, exit_valid=None,
                exit_gcol=None,
                remove_white_goals=True, perf_possible=None):
@@ -543,6 +552,7 @@ def fused_step(board, goals, init_board, action, agent_row, agent_col,
     kern = partial(_advance_kernel, static_goals=static_goals,
                    time_limit=time_limit, spawnless=spawnless,
                    simple_goals=simple_goals,
+                   spawn_simple_goals=spawn_simple_goals,
                    obs_view=obs_view if emit_obs else None,
                    num_exits=num_exits,
                    remove_white_goals=remove_white_goals)

@@ -126,11 +126,160 @@ def _pis_predicates(counts, shift, spawning=True):
     return preserved, inhibited, near_spawner
 
 
+# ---------------------------------------------------------------------------
+# Single-word full-rule packings.
+#
+# The original full-rule advance spent TWO neighbor-sum stencils per board:
+# one for the packed rule counts (alive / 3 color weights / destructible at
+# 5-bit spacing, bits 0-24) and one for the PRESERVING/INHIBITING/SPAWNING
+# presence fields.  But every count a full board needs fits in ONE int32
+# word once the fields are sized to their true maxima:
+#
+#   * spawnless board (color weight = alive <= 1, counts <= 9): 4-bit
+#     fields — alive@0, r@4, g@8, b@12, d@16, p@20, i@24 — 28 bits.  The
+#     whole rule costs a single neighbor-sum pass (the headline *-still
+#     suites advance ONE board per step, so their CA stencil work halves).
+#   * spawner board (color weight <= 3, counts <= 27): 5-bit color fields —
+#     alive@0(4b), r@4, g@9, b@14, d@19(4b), p@23(4b), i@27(4b) — 31 bits.
+#     Only the spawner-presence field is homeless; a paired advance parks
+#     it in the partner word's free bits (see _advance_pair_spawnsimple).
+#
+# All deposits use the multiply-spread trick (partial products of a sparse
+# multiplier land uniquely on the masked positions); every field's 3x3 sum
+# stays below its width (no inter-field carries) and the top field tops out
+# below bit 31 (no sign trouble).  Reference semantics being reproduced:
+# speedups_src/advance_board.c:34-120 (via ops/life.py, tested bit-equal).
+# ---------------------------------------------------------------------------
+
+def _fold_ge2(counts, mask):
+    """OR-fold each masked count field's bits-above-unit onto its base bit:
+    after this, ``m & (1 << base)`` tests "field value >= 2"."""
+    m = (counts >> 1) & mask
+    m = m | (m >> 2)
+    return m | (m >> 1)
+
+
+def _pack_full4(board):
+    """Spawnless full-rule board -> one 28-bit count word (4-bit fields)."""
+    alive = board & 1
+    c3 = (board >> C.COLOR_BIT) & 7
+    spread = (c3 * 0x49) & 0x111                      # r@0, g@4, b@8
+    has_d = ((board >> C.DESTRUCTIBLE_BIT) | (board >> C.EXIT_BIT)) & 1
+    pi2 = (board >> C.PRESERVING_BIT) & 3
+    # pi deposit: partial products of 2^20 + 2^23 land uniquely on {20, 24}.
+    return (alive + ((spread * alive) << 4) + ((has_d * alive) << 16)
+            + ((pi2 * 0x900000) & 0x1100000))
+
+
+def _extract4(counts):
+    n_alive = counts & 15
+    m = _fold_ge2(counts, (7 << 4) | (7 << 8) | (7 << 12) | (7 << 16))
+    t = m & ((1 << 4) | (1 << 8) | (1 << 12))
+    inherit = ((t >> 3) * 0x124) & C.COLORS
+    born_d = (m >> 13) & C.DESTRUCTIBLE
+    preserved = ((counts >> 20) & 15) != 0
+    inhibited = ((counts >> 24) & 15) != 0
+    return n_alive, inherit, born_d, preserved, inhibited
+
+
+def _pack_full5(board, with_pi=True):
+    """Spawner full-rule board -> one 31-bit count word (5-bit colors;
+    spawner-presence NOT included — pair it via a partner word)."""
+    alive = board & 1
+    spawning = (board >> C.SPAWNING_BIT) & 1
+    cw = alive + 2 * spawning
+    c3 = (board >> C.COLOR_BIT) & 7
+    spread = (c3 * 0x1110) & 0x4210                   # r@4, g@9, b@14
+    has_d = ((board >> C.DESTRUCTIBLE_BIT) | (board >> C.EXIT_BIT)) & 1
+    word = alive + spread * cw + ((has_d * alive) << 19)
+    if with_pi:
+        pi2 = (board >> C.PRESERVING_BIT) & 3
+        # pi deposit: partial products of 2^23 + 2^26 land on {23, 27}.
+        word = word + ((pi2 * 0x4800000) & 0x8800000)
+    return word
+
+
+def _extract5(counts, with_pi=True):
+    n_alive = counts & 15
+    m = _fold_ge2(counts, (15 << 4) | (15 << 9) | (15 << 14) | (7 << 19))
+    t = m & ((1 << 4) | (1 << 9) | (1 << 14))
+    inherit = ((t >> 4) * 0x222) & C.COLORS
+    born_d = (m >> 16) & C.DESTRUCTIBLE
+    if not with_pi:
+        return n_alive, inherit, born_d, None, None
+    preserved = ((counts >> 23) & 15) != 0
+    inhibited = ((counts >> 27) & 15) != 0
+    return n_alive, inherit, born_d, preserved, inhibited
+
+
+def _core_full(board, spawn, n_alive, inherit, born_d, preserved, inhibited,
+               near_spawner):
+    """The CA rule given pre-extracted neighborhood quantities.  Same
+    semantics as :func:`_advance_core`; ``preserved``/``inhibited`` may be
+    None when certified absent (goal boards with no PRESERVING/INHIBITING
+    anywhere — the predicates are constant-False and compile out)."""
+    is_alive = (board & 1) != 0
+    frozen = (board & C.FROZEN) != 0
+    three = n_alive == 3
+    survives = frozen | three | (n_alive == 4)
+    if preserved is not None:
+        survives = survives | preserved
+    born = three & ~frozen
+    if inhibited is not None:
+        born = born & ~inhibited
+    born_cell = C.ALIVE | inherit | born_d
+    if spawn is None:
+        return jnp.where(
+            is_alive, jnp.where(survives, board, 0),
+            jnp.where(born, born_cell, board))
+    spawned = ~frozen & ~born & near_spawner & spawn
+    if inhibited is not None:
+        spawned = spawned & ~inhibited
+    spawn_cell = (C.ALIVE | C.DESTRUCTIBLE) | inherit
+    return jnp.where(
+        is_alive,
+        jnp.where(survives, board, 0),
+        jnp.where(born, born_cell, jnp.where(spawned, spawn_cell, board)),
+    )
+
+
+def _advance_spawnless(board):
+    """Full-rule advance of a spawnless board in ONE neighbor-sum pass."""
+    return _core_full(board, None, *_extract4(_nb_sum(_pack_full4(board))),
+                      near_spawner=None)
+
+
+def _advance_pair_spawnsimple(board, spawn_b, goals, spawn_g):
+    """Advance a full-rule board AND a *spawn-simple* goal board (certified
+    free of PRESERVING/INHIBITING/EXIT bits, spawners allowed — see
+    ``LevelBank.spawn_simple_goals``; the certification is inductive, as
+    spawned/born cells only ever add ALIVE|DESTRUCTIBLE|colors) with TWO
+    neighbor-sum stencils instead of the general pair's three: the board
+    word carries its own p/i fields (_pack_full5) and both boards'
+    spawner-presence fields ride the goal word's free bits 23/27."""
+    wb = _pack_full5(board, with_pi=True)
+    s_g = (goals >> C.SPAWNING_BIT) & 1
+    s_b = (board >> C.SPAWNING_BIT) & 1
+    wg = _pack_full5(goals, with_pi=False) + (s_g << 23) + (s_b << 27)
+    cb = _nb_sum(wb)
+    cg = _nb_sum(wg)
+    near_g = ((cg >> 23) & 15) != 0
+    near_b = ((cg >> 27) & 15) != 0
+    na, inh, bd, p, i = _extract5(cb, with_pi=True)
+    new_b = _core_full(board, spawn_b, na, inh, bd, p, i, near_b)
+    na, inh, bd, _, _ = _extract5(cg, with_pi=False)
+    new_g = _core_full(goals, spawn_g, na, inh, bd, None, None, near_g)
+    return new_b, new_g
+
+
 def _advance_block(board, spawn):
-    """Standalone full-rule advance of one board (presence fields get
-    their own count stencil — same cost as the OR-stencil it replaces)."""
-    counts = _nb_sum(_pis_word(board, 0, spawning=spawn is not None))
-    p, i, s = _pis_predicates(counts, 0, spawning=spawn is not None)
+    """Standalone full-rule advance of one board.  Spawnless boards take
+    the single-stencil 4-bit packing; spawner boards keep the two-stencil
+    layout (their 35 bits of count fields cannot fit one word)."""
+    if spawn is None:
+        return _advance_spawnless(board)
+    counts = _nb_sum(_pis_word(board, 0, spawning=True))
+    p, i, s = _pis_predicates(counts, 0, spawning=True)
     return _advance_core(board, spawn, p, i, s)
 
 
@@ -304,6 +453,61 @@ def advance_simple(goals, interpret=False):
         out_shape=jax.ShapeDtypeStruct((h, w, b), jnp.uint16),
         interpret=interpret,
     )(goals)
+
+
+def _pair_field_kernel(board_ref, sb_ref, goals_ref, sg_ref,
+                       out_b_ref, out_g_ref):
+    b, g = _advance_pair_spawnsimple(
+        board_ref[:].astype(jnp.int32), sb_ref[:] != 0,
+        goals_ref[:].astype(jnp.int32), sg_ref[:] != 0)
+    out_b_ref[:] = b.astype(jnp.uint16)
+    out_g_ref[:] = g.astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def advance_pair_spawnsimple_with_fields(board, spawn_b, goals, spawn_g,
+                                         interpret=False):
+    """Test hook: run the two-stencil spawn-simple pair advance with
+    caller-supplied spawn fields — for bit-equality tests against the XLA
+    rule (``ops.life.advance_board`` per board).  ``goals`` must satisfy
+    the spawn-simple certification (no PRESERVING/INHIBITING/EXIT bits)."""
+    h, w, b = board.shape
+    assert b % LANES == 0
+    spec = pl.BlockSpec((h, w, LANES), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((h, w, b), jnp.uint16)
+    return pl.pallas_call(
+        _pair_field_kernel,
+        grid=(b // LANES,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec),
+        out_shape=(out, out),
+        interpret=interpret,
+    )(board, spawn_b.astype(jnp.uint16), goals, spawn_g.astype(jnp.uint16))
+
+
+def _spawnless_kernel(board_ref, out_ref):
+    out_ref[:] = _advance_spawnless(
+        board_ref[:].astype(jnp.int32)).astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def advance_spawnless(board, interpret=False):
+    """Test hook: the single-stencil spawnless full-rule advance (the
+    headline *-still path) standalone — bit-equal to the XLA rule with a
+    never-firing spawn field on spawner-free boards."""
+    h, w, b = board.shape
+    assert b % LANES == 0
+    spec = pl.BlockSpec((h, w, LANES), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _spawnless_kernel,
+        grid=(b // LANES,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((h, w, b), jnp.uint16),
+        interpret=interpret,
+    )(board)
 
 
 def _field_kernel(board_ref, spawn_ref, out_ref):

@@ -409,7 +409,8 @@ def gen_build_levels(key, batch, h=14, w=14, iters=1500, min_fill=0.12,
     bank = build_bank_from_arrays(
         board, goals, pr, pc, min_performance=min_performance,
         spawn_prob=spawn_prob, static_goals=False,
-        spawnless=(task != "append-spawn"))
+        spawnless=(task != "append-spawn"),
+        max_exits=1)  # the factory places exactly one exit per level
     return bank, conv_b & conv_g
 
 
@@ -860,5 +861,6 @@ def gen_partitioned_levels(task, num_levels, seed=0, h=26, w=26,
         spawn_prob=jnp.full(num_levels, 0.3, jnp.float32)
         if has_spawners else None,
         static_goals=static_goals, spawnless=not has_spawners,
-        simple_goals=not static_goals)
+        simple_goals=not static_goals,
+        max_exits=1)  # the factory places exactly one exit per level
     return bank, conv

@@ -404,7 +404,28 @@ class Trainer:
             time_limit=self.cfg.time_limit,
             side_effect_samples=self.cfg.eval_side_effect_samples)
         perf = float(np.mean(results["performance"]))
+        # Dead-start watchdog: in round 4 an append-dynamic seed sat at
+        # EXACTLY 0.000 mean_perf for its first 2.5M steps before
+        # recovering.  A trained-for-millions-of-steps policy scoring
+        # exactly zero on a goal-bearing suite means the agent has never
+        # once completed a goal cell — flag it loudly (TB scalar +
+        # warning) so a stuck seed is visible long before the run ends.
+        # Navigation-style suites (no goal patterns, possible == 0 by
+        # construction) are exempt.
+        has_goals = bool(np.any(np.asarray(results["possible"]) > 0))
+        dead = has_goals and perf == 0.0 and step >= 1_000_000
+        if dead:
+            self.dead_start_evals = getattr(self, "dead_start_evals", 0) + 1
+            logger.warning(
+                "DEAD START: eval mean_perf is exactly 0.000 at step %d "
+                "(%d consecutive flagged evals) — the policy has never "
+                "completed a goal cell; check entropy collapse / reward "
+                "sparsity / the training bank", step, self.dead_start_evals)
+        else:
+            self.dead_start_evals = 0
         if self.writer:
+            self.writer.add_scalar("eval/dead_start",
+                                   float(dead), step)
             self.writer.add_scalar("eval/performance", perf, step)
             self.writer.add_scalar(
                 "eval/reward", float(np.mean(results["reward"])), step)

@@ -138,6 +138,89 @@ def test_fused_step_simple_goals_flag():
                                       err_msg=f"output {i}")
 
 
+def _spawnless_soup(rng, shape, density=0.15):
+    """Random boards with every flag EXCEPT spawning (the bank-wide
+    ``spawnless`` certification forbids spawners anywhere)."""
+    board = np.zeros(shape, np.uint16)
+    for f in _FLAGS:
+        if f == C.SPAWNING:
+            continue
+        board |= f * (rng.random(shape) < density).astype(np.uint16)
+    return board
+
+
+def test_advance_spawnless_matches_xla():
+    """The single-stencil 4-bit-field packing (the headline *-still board
+    advance) is bit-exact vs the XLA rule on spawner-free soups."""
+    rng = np.random.RandomState(41)
+    no_spawn = jnp.zeros((26, 26, B), bool)
+    b = jnp.asarray(_spawnless_soup(rng, (26, 26, B)))
+    for t in range(6):
+        got = life_pallas.advance_spawnless(b, interpret=INTERP)
+        want = life.advance_board(b, no_spawn)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"step {t}")
+        b = got
+
+
+def _spawn_simple_goal_soup(rng, shape, density=0.2):
+    """Random boards satisfying LevelBank.spawn_simple_goals: no
+    PRESERVING/INHIBITING/EXIT bits; SPAWNING allowed (incl. exotic
+    alive+spawning combos that stress the doubled color weights)."""
+    board = np.zeros(shape, np.uint16)
+    allowed = (C.ALIVE, C.DESTRUCTIBLE, C.FROZEN, C.PUSHABLE, C.PULLABLE,
+               C.SPAWNING, C.COLOR_R, C.COLOR_G, C.COLOR_B)
+    for f in allowed:
+        board |= np.uint16(f) * (rng.random(shape) < density).astype(
+            np.uint16)
+    return board
+
+
+def test_advance_pair_spawnsimple_matches_xla():
+    """The two-stencil spawn-simple pair advance (full-rule board +
+    goal board with spawners but no PRESERVING/INHIBITING/EXIT — the
+    goal-spawner stress path) is bit-exact vs the XLA rule per board,
+    and its goal certification is inductive."""
+    rng = np.random.RandomState(55)
+    forbidden = np.uint16(C.PRESERVING | C.INHIBITING | C.EXIT)
+    b = jnp.asarray(rich_soup(rng, (26, 26, B)))
+    g = jnp.asarray(_spawn_simple_goal_soup(rng, (26, 26, B)))
+    for t in range(6):
+        sb = jnp.asarray(rng.random(b.shape) < 0.35)
+        sg = jnp.asarray(rng.random(b.shape) < 0.35)
+        got_b, got_g = life_pallas.advance_pair_spawnsimple_with_fields(
+            b, sb, g, sg, interpret=INTERP)
+        np.testing.assert_array_equal(
+            np.asarray(got_b), np.asarray(life.advance_board(b, sb)),
+            err_msg=f"board step {t}")
+        np.testing.assert_array_equal(
+            np.asarray(got_g), np.asarray(life.advance_board(g, sg)),
+            err_msg=f"goals step {t}")
+        assert not (np.asarray(got_g) & forbidden).any()
+        b, g = got_b, got_g
+
+
+def test_fused_step_spawn_simple_goals_flag():
+    """fused_step(spawn_simple_goals=True) equals the general dynamic-
+    goals path when the goal boards are certified spawn-simple."""
+    rng = np.random.RandomState(93)
+    (board, goals, init_board, action, ar, ac, orient,
+     game_over, ce0, baseline, min_perf) = _random_step_inputs(rng)
+    goals = _spawn_simple_goal_soup(rng, goals.shape)
+    zero_p = np.zeros(B, np.float32)
+    args = (jnp.asarray(board), jnp.asarray(goals), jnp.asarray(init_board),
+            jnp.asarray(action), jnp.asarray(ar), jnp.asarray(ac),
+            jnp.asarray(orient), jnp.asarray(game_over), jnp.asarray(ce0),
+            jnp.asarray(baseline), jnp.asarray(zero_p),
+            jnp.asarray(min_perf))
+    full = env_step_pallas.fused_step(*args, seed=7, interpret=INTERP)
+    fast = env_step_pallas.fused_step(*args, seed=7, interpret=INTERP,
+                                      spawn_simple_goals=True)
+    for i, (a, b) in enumerate(zip(full, fast)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"output {i}")
+
+
 # ---------------------------------------------------------------------------
 # 2. advance_both: fused two-board advance + in-core PRNG.
 # ---------------------------------------------------------------------------
@@ -365,6 +448,32 @@ def test_env_step_fused_equals_xla(suite, view):
     # Short time limit so auto-resets happen within the rollout.
     actions = np.random.RandomState(9).randint(0, 9, (12, B))
     cfg = dict(time_limit=6, auto_reset=True, view_shape=view)
+    tr_xla = _rollout(
+        BatchedSafeLifeEnv(EnvConfig(use_pallas=False, **cfg)), bank, actions)
+    tr_fused = _rollout(
+        BatchedSafeLifeEnv(EnvConfig(pallas_interpret=True, **cfg)),
+        bank, actions)
+    for t, (a, b) in enumerate(zip(tr_xla, tr_fused)):
+        for k in a:
+            np.testing.assert_array_equal(
+                a[k], b[k], err_msg=f"step {t}, field {k}")
+
+
+def test_env_step_fused_equals_xla_goal_spawner_bank():
+    """End-to-end equivalence on a bank whose GOAL boards contain
+    spawners (the stress-bench shape, taking the two-stencil
+    spawn-simple pair path).  spawn_prob is zero on every level, so the
+    spawn draws can never fire and both paths are deterministic while the
+    spawner-presence/count plumbing still runs."""
+    from safelife_tpu.levels import synth
+    levels = [synth.simple_level(26, 26, spawners=False, seed=i,
+                                 dynamic_goals=True) for i in range(8)]
+    bank = loader.build_bank(levels)
+    assert bank.spawn_simple_goals and not bank.simple_goals \
+        and not bank.static_goals and not bank.spawnless
+    assert float(np.asarray(bank.spawn_prob).max()) == 0.0
+    actions = np.random.RandomState(17).randint(0, 9, (12, B))
+    cfg = dict(time_limit=6, auto_reset=True, view_shape=(15, 15))
     tr_xla = _rollout(
         BatchedSafeLifeEnv(EnvConfig(use_pallas=False, **cfg)), bank, actions)
     tr_fused = _rollout(
