@@ -79,7 +79,26 @@ with impact_penalty=0.5 (ramped in per the task's reference schedule,
 append-still, as in the reference `start-training`) and compare side
 effects against the unpenalized baseline.  Perf is the CPU-verified final; side effects
 are the final-checkpoint suite mean (EMD vs the inaction rollout,
-lower = safer).
+lower = safer).  Negative change = the penalty reduced side effects.
+
+**Read the spawn/dynamic rows carefully: the penalty INCREASES the
+measured side effects there, and the reference documents exactly this
+failure mode.**  The `SimpleSideEffectPenalty` baselines against the
+STARTING state, so on boards that evolve on their own it "will also
+penalize [the agent] for allowing the environment to dynamically
+evolve, and will encourage it to disable any features that cause
+dynamic evolution" (reference `README.md:236`).  On prune-spawn the
+reference describes its own ε=0.5 agent this way: "it quickly destroys
+the spawner cells ... The agent never actually completes the level by
+going to the level exit because it doesn't want to reach the next
+level and be further penalized" (`README.md:243`).  Our penalized
+prune-spawn seeds reproduce that signature — episode length ~1000
+(never exits) and inflated EMD-vs-inaction scores from suppressing the
+spawner output the inaction baseline preserves.  The penalty "works"
+only where the paper says it should: the still-board tasks.  For
+navigation the reference predicts the penalty "completely destroys the
+agents' abilities to find the level exit" (`README.md:259`) — compare
+the navigation rows' reward/length rather than side effects alone.
 """
 
 
@@ -170,13 +189,17 @@ def emit_safety_summary(lines, runs, cpu):
     lines.append(SAFETY_PROSE)
     lines.append("| task | perf (penalty 0) | side effects (penalty 0) | "
                  "perf (+penalty) | side effects (+penalty) | "
-                 "side-effect reduction |")
+                 "side-effect change |")
     lines.append("|---|---|---|---|---|---|")
     for base, pen, _amt in pairs:
         metric = metric_for(base)
         b_p, b_e = cpu_final(base, metric), final(base, "side_effects")
         p_p, p_e = cpu_final(pen, metric), final(pen, "side_effects")
-        red = f"**-{(1 - p_e / b_e) * 100:.0f}%**" if b_e and p_e else "—"
+        if b_e and p_e:
+            delta = (p_e / b_e - 1) * 100  # negative = penalty reduced them
+            red = f"**{delta:+.0f}%**"
+        else:
+            red = "—"
         lines.append(
             f"| {base} | {b_p:.3f} | {b_e:.1f} | {p_p:.3f} | {p_e:.1f} "
             f"| {red} |")

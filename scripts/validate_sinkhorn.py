@@ -13,11 +13,21 @@ episode) pair BOTH ways, and reports per-suite relative error on the
 per-episode total score.  Artifact: results/sinkhorn_validation.json
 + a markdown table on stdout (folded into RESULTS.md by hand).
 
+Round-4 verdict follow-up: the bound must be measured on the
+distributions the REPORTED numbers come from — trained policies, whose
+occupancy is far more concentrated than a random walk's.  With
+``--runs <dir>`` the script restores each sweep run's final checkpoint
+(scripts/cpu_verify_finals.py's loader) and replays its task suite with
+the trained sampling policy instead of random actions; results land in
+results/sinkhorn_validation_trained.json keyed by run name.
+
 Usage: python scripts/validate_sinkhorn.py [suite ...]
+       python scripts/validate_sinkhorn.py --runs /root/runs
 """
 
 import json
 import os
+import re
 import sys
 
 if os.environ.get("JAX_PLATFORMS") != "cpu" \
@@ -34,7 +44,8 @@ SAMPLES = 250          # trainer eval default (TrainerConfig)
 EPS, ITERS = 0.02, 200  # side_effect_score_batched defaults
 
 
-def validate_suite(suite, time_limit=1000, seed=0):
+def validate_suite(suite, time_limit=1000, seed=0, policy=None,
+                   view_shape=None):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -55,16 +66,27 @@ def validate_suite(suite, time_limit=1000, seed=0):
     n = bank.num_levels
     env = BatchedSafeLifeEnv(EnvConfig(
         use_pallas=False, auto_reset=False, time_limit=time_limit,
-        compute_obs=False))
+        compute_obs=policy is not None,
+        view_shape=view_shape or (15, 15)))
     state = env.reset_to_levels(bank, jnp.arange(n))
     key = jax.random.PRNGKey(seed)
     step = jax.jit(lambda s, a, k: env.step(s, bank, a, k))
+    recurrent = bool(getattr(policy, "recurrent", False))
+    carry = policy.init_carry(n) if recurrent else None
+    obs = env.observe(state) if policy is not None else None
 
     done = np.zeros(n, bool)
     for t in range(time_limit):
         key, k_act, k_env = jax.random.split(key, 3)
-        actions = jax.random.randint(k_act, (n,), 0, 9)
+        if policy is None:
+            actions = jax.random.randint(k_act, (n,), 0, 9)
+        elif recurrent:
+            actions, carry = policy(obs, carry, k_act)
+        else:
+            actions = policy(obs, k_act)
         state, ts = step(state, actions, k_env)
+        if policy is not None:
+            obs = ts.obs
         done |= np.asarray(ts.done)
         if done.all():
             break
@@ -109,6 +131,60 @@ def validate_suite(suite, time_limit=1000, seed=0):
         episodes_with_effects=int(nz.sum()))
 
 
+def main_runs(run_dir):
+    """Validate on TRAINED policies: every sweep run under ``run_dir``
+    replays its task's frozen suite with its final checkpoint's sampling
+    policy (CPU), and the Sinkhorn-vs-exact comparison is done on THOSE
+    episode distributions."""
+    import glob
+
+    from safelife_tpu.training.driver import load_policy
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "results",
+        "sinkhorn_validation_trained.json")
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            results = json.load(fh)
+    for logdir in sorted(glob.glob(os.path.join(run_dir, "*-s[0-9]*"))):
+        run = os.path.basename(logdir)
+        m = re.match(r"(.+)-s(\d+)$", run)
+        if not m or not os.path.isdir(os.path.join(logdir, "checkpoints")):
+            continue
+        if run in results:
+            continue
+        task = m.group(1).split("+")[0]
+        print(f"validating {run} (suite {task}) ...", file=sys.stderr,
+              flush=True)
+        try:
+            policy, view = load_policy(logdir)
+        except Exception as e:
+            print(f"  {run}: SKIP ({type(e).__name__}: {e})", flush=True)
+            continue
+        r = validate_suite(task, policy=policy, view_shape=view)
+        if r is None:
+            continue
+        r["run"] = run
+        results[run] = r
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=1, sort_keys=True)
+        print(f"  {run}: mean_rel_err={r['mean_rel_err']:.4f} "
+              f"p95={r['p95_rel_err']:.4f} max={r['max_rel_err']:.4f} "
+              f"({r['episodes_with_effects']}/{r['episodes']} episodes)",
+              flush=True)
+
+    print("\n| run | episodes scored | mean exact EMD | mean Sinkhorn | "
+          "mean rel err | p95 rel err |")
+    print("|---|---|---|---|---|---|")
+    for s, r in sorted(results.items()):
+        print(f"| {s} | {r['episodes_with_effects']}/{r['episodes']} "
+              f"| {r['mean_exact']:.2f} | {r['mean_sinkhorn']:.2f} "
+              f"| {r['mean_rel_err'] * 100:.1f}% "
+              f"| {r['p95_rel_err'] * 100:.1f}% |")
+    print("wrote", out_path)
+
+
 def main(suites):
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "results", "sinkhorn_validation.json")
@@ -141,4 +217,7 @@ def main(suites):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or SUITES)
+    if len(sys.argv) > 1 and sys.argv[1] == "--runs":
+        main_runs(sys.argv[2] if len(sys.argv) > 2 else "/root/runs")
+    else:
+        main(sys.argv[1:] or SUITES)
