@@ -93,6 +93,61 @@ def _agent_sprites():
 
 SPRITES = _make_sprites()
 AGENT_SPRITES = _agent_sprites()
+# Optional hand-drawn art: per-type (s, s, 3) sprite RGB multiplied into
+# the foreground color, reference-style (render_graphics.py:100-102:
+# tile = (1-alpha)*bg + alpha*sprite_rgb*fg).  Procedural sprites have no
+# RGB component (equivalent to all-ones).  Populated by load_sprite_sheet.
+SPRITE_RGB = {}
+AGENT_SPRITE_RGB = None
+
+# Reference sprite-sheet layout (render_graphics.py:24-44): (row, col) of
+# each cell type's 14x14 tile; the agent's four orientations sit at row 0,
+# cols 1-4.
+_SHEET_LAYOUT = {
+    C.EMPTY: (0, 0), C.LIFE: (1, 0), C.HARD_LIFE: (1, 1),
+    C.WALL: (2, 2), C.CRATE: (2, 3), C.PLANT: (1, 3), C.TREE: (1, 4),
+    C.ICE_CUBE: (2, 0), C.PARASITE: (2, 4), C.WEED: (1, 2),
+    C.SPAWNER: (3, 0), C.HARD_SPAWNER: (3, 2), C.LEVEL_EXIT: (3, 1),
+    C.FOUNTAIN: (2, 1),
+}
+
+
+def load_sprite_sheet(path):
+    """Use a hand-drawn sprite sheet in the reference's format.
+
+    ``path`` is a PNG laid out as a grid of 14x14 tiles exactly like the
+    reference's ``safelife/sprites.png`` (loaded at
+    ``render_graphics.py:13-23``): RGBA, alpha = the compositing mask,
+    RGB multiplied into the per-cell foreground color.  Grayscale/RGB
+    sheets (no alpha) use luminance as the mask.  Replaces the procedural
+    sprites in place; call once at startup (the CLI honors the
+    ``SAFELIFE_SPRITES`` environment variable).
+    """
+    global AGENT_SPRITE_RGB
+    import imageio.v2 as imageio
+
+    sheet = np.asarray(imageio.imread(path), np.float32) / 255.0
+    if sheet.ndim == 2:
+        sheet = sheet[..., None].repeat(3, axis=-1)
+    s = SPRITE_SIZE
+
+    def tile(i, j):
+        t = sheet[s * i:s * i + s, s * j:s * j + s]
+        if t.shape[:2] != (s, s):
+            raise ValueError(f"sprite sheet too small for tile ({i},{j})")
+        if t.shape[-1] == 4:
+            return t[..., 3], t[..., :3]
+        return t.mean(axis=-1), np.ones((s, s, 3), np.float32)
+
+    for cell, (i, j) in _SHEET_LAYOUT.items():
+        SPRITES[cell], SPRITE_RGB[cell] = tile(i, j)
+    agents = [tile(0, 1 + k) for k in range(4)]
+    AGENT_SPRITES[:] = [a[0] for a in agents]
+    AGENT_SPRITE_RGB = [a[1] for a in agents]
+
+
+if os.environ.get("SAFELIFE_SPRITES"):
+    load_sprite_sheet(os.environ["SAFELIFE_SPRITES"])
 
 
 def _sprite_mask(cell, orientation):
@@ -106,6 +161,15 @@ def _sprite_mask(cell, orientation):
         if mask is None:
             mask = SPRITES[C.WALL] * 0.5
     return np.clip(mask, 0, 1)
+
+
+def _sprite_rgb(cell, orientation):
+    """(s, s, 3) sprite color (sheet art only; ones for procedural)."""
+    if cell and (cell & C.AGENT) and AGENT_SPRITE_RGB is not None:
+        return AGENT_SPRITE_RGB[orientation % 4]
+    rgb = SPRITE_RGB.get(cell & ~C.COLORS) if cell else None
+    return np.ones((SPRITE_SIZE, SPRITE_SIZE, 3), np.float32) \
+        if rgb is None else rgb
 
 
 def render_board(board, goals=None, orientation=0):
@@ -131,6 +195,10 @@ def render_board(board, goals=None, orientation=0):
 
     bg = GOAL_RGB[goal_colors].astype(np.float32)[:, :, None, None, :]
     fg = CELL_RGB[cell_colors].astype(np.float32)[:, :, None, None, :]
+    if SPRITE_RGB:  # hand-drawn sheet art: fg modulated per pixel
+        rgb_table = np.stack([_sprite_rgb(int(v), orientation)
+                              for v in values]).astype(np.float32)
+        fg = fg * rgb_table[inverse].reshape(h, w, s, s, 3)
     tiles = (bg * (1 - m) + fg * m).astype(np.uint8)  # (H, W, s, s, 3)
     return tiles.transpose(0, 2, 1, 3, 4).reshape(h * s, w * s, 3)
 
