@@ -41,6 +41,9 @@ import json, os, sys
 sys.path.insert(0, {repo!r})
 import numpy as np
 import jax
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/safelife_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 cfg = json.loads(sys.argv[1])
 if cfg["platform"] == "cpu":
     assert all(d.platform == "cpu" for d in jax.devices()), jax.devices()
