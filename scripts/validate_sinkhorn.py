@@ -154,6 +154,9 @@ def main_runs(run_dir):
             continue
         if run in results:
             continue
+        if not os.path.exists(logdir + ".done"):
+            print(f"  {run}: still training, skipped", file=sys.stderr)
+            continue
         task = m.group(1).split("+")[0]
         print(f"validating {run} (suite {task}) ...", file=sys.stderr,
               flush=True)
