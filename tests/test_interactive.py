@@ -96,3 +96,43 @@ def test_recording_saves_trajectory(tmp_path, monkeypatch):
     from safelife_tpu.render.graphics import render_file
     out = render_file(files[0])
     assert out.endswith(".gif") and os.path.exists(out)
+
+
+def test_sprite_sheet_loader(tmp_path):
+    """A reference-format sprite sheet (render_graphics.py:13-44 layout:
+    14px RGBA tiles, agent orientations at row 0 cols 1-4) replaces the
+    procedural art: alpha is the mask, sprite RGB modulates the per-cell
+    foreground color.  The renderer must keep shape/dtype and actually
+    use the sheet."""
+    import imageio.v2 as imageio
+    import safelife_tpu.cells as C
+    from safelife_tpu.render import graphics as G
+
+    sheet = np.zeros((14 * 4, 14 * 5, 4), np.uint8)
+    for i in range(4):
+        for j in range(5):
+            sheet[14 * i:14 * i + 14, 14 * j:14 * j + 14, :3] = \
+                (50 * i + 20, 40 * j + 20, 180)
+            sheet[14 * i + 3:14 * i + 11, 14 * j + 3:14 * j + 11, 3] = 255
+    path = str(tmp_path / "sheet.png")
+    imageio.imwrite(path, sheet)
+
+    board = np.array([[C.LIFE | C.COLOR_G, C.WALL],
+                      [C.PLAYER, C.SPAWNER | C.COLOR_R]], np.uint16)
+    img_proc = G.render_board(board)
+    saved = (dict(G.SPRITES), list(G.AGENT_SPRITES),
+             dict(G.SPRITE_RGB), G.AGENT_SPRITE_RGB)
+    try:
+        G.load_sprite_sheet(path)
+        img_sheet = G.render_board(board)
+    finally:  # restore procedural art for other tests
+        G.SPRITES.clear(); G.SPRITES.update(saved[0])
+        G.AGENT_SPRITES[:] = saved[1]
+        G.SPRITE_RGB.clear(); G.SPRITE_RGB.update(saved[2])
+        G.AGENT_SPRITE_RGB = saved[3]
+    assert img_sheet.shape == img_proc.shape == (28, 28, 3)
+    assert img_sheet.dtype == np.uint8
+    assert not np.array_equal(img_sheet, img_proc)
+    # background (goal tint) shows through where the sheet alpha is 0:
+    # the tile corners are transparent, so corner pixels equal GOAL_RGB[0].
+    assert tuple(img_sheet[0, 0]) == tuple(G.GOAL_RGB[0])
