@@ -67,6 +67,10 @@ def main(argv=None):
     p.add_argument("--algo", choices=("cnn", "lstm"), default="cnn",
                    help="policy: feedforward CNN (default) or the "
                         "recurrent CNN+LSTM trained with RecurrentPPO")
+    p.add_argument("--eval-every", type=float, default=0,
+                   help="frozen-suite eval cadence in env steps "
+                        "(0 = at every checkpoint; the final eval "
+                        "always runs)")
 
     p = sub.add_parser("gen-benchmarks",
                        help="generate frozen benchmark level archives")
@@ -140,7 +144,8 @@ def cmd_train(args):
             args.task, impact_penalty=args.impact_penalty,
             logdir=args.logdir, num_envs=args.num_envs, seed=args.seed,
             view_shape=(args.view, args.view),
-            recurrent=(args.algo == "lstm"))
+            recurrent=(args.algo == "lstm"),
+            eval_every=int(args.eval_every))
         trainer.restore_checkpoint()
         trainer.train(min(total, int(args.steps)) if args.steps else None)
         return
@@ -150,7 +155,8 @@ def cmd_train(args):
         impact_penalty=args.impact_penalty,
         min_performance=args.min_performance,
         seed=args.seed, logdir=args.logdir,
-        recurrent=(args.algo == "lstm"))
+        recurrent=(args.algo == "lstm"),
+        eval_every=int(args.eval_every))
     trainer = Trainer(cfg, PPOConfig(), level_paths=tuple(args.levels))
     trainer.restore_checkpoint()
     trainer.train()

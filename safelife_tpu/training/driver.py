@@ -51,10 +51,15 @@ class TrainerConfig:
     logdir: Optional[str] = None
     max_checkpoints: int = 3
     record_videos: bool = True    # capture an episode gif at each checkpoint
-    # Periodic frozen-suite evaluation (every save_every steps): a suite
-    # name / path / LevelBank; None disables.  Results go to eval.yaml +
-    # eval/* tensorboard scalars, incl. full EMD side-effect scores.
+    # Periodic frozen-suite evaluation: a suite name / path / LevelBank;
+    # None disables.  Results go to eval.yaml + eval/* tensorboard
+    # scalars, incl. full EMD side-effect scores.  eval_every sets the
+    # cadence in env steps (0 = every checkpoint); the final eval always
+    # runs.  A full-suite eval costs ~2x a 500k-step training segment at
+    # the 64-env reference batch, so sweeps bound by wall clock thin the
+    # cadence without touching checkpoint frequency or the finals.
     eval_suite: Any = None
+    eval_every: int = 0
     eval_side_effect_samples: int = 250
     # Endless levels: regenerate the training bank every this many env
     # steps from the current bank factory (0 = fixed bank).  Generation
@@ -247,6 +252,8 @@ class Trainer:
         steps_per_batch = self.ppo_cfg.steps_per_env * self.cfg.num_envs
         next_report = 0
         next_save = self.global_step() + self.cfg.save_every
+        eval_every = self.cfg.eval_every or self.cfg.save_every
+        next_eval = self.global_step() + eval_every
         t0 = time.time()
         last_steps, last_t = self.global_step(), t0
 
@@ -311,7 +318,9 @@ class Trainer:
             if step >= next_save:
                 self.save_checkpoint()
                 self.maybe_record_video()
-                self.evaluate()
+                if step >= next_eval:
+                    self.evaluate()
+                    next_eval = step + eval_every
                 next_save = step + self.cfg.save_every
 
         self.save_checkpoint()

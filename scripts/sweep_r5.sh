@@ -28,9 +28,12 @@ run() {  # run TASK SEED STEPS [PENALTY] [ALGO]
   local dir=/root/runs/$name-s$seed
   if [ -f "$dir.done" ]; then echo "skip $dir"; return; fi
   gate
+  # Frozen-suite evals at 1M cadence (checkpoints stay at 500k): a full
+  # eval costs ~2x a 500k training segment at the 64-env reference batch,
+  # and the safety table reads finals, which always evaluate.
   python -m safelife_tpu train "$dir" --task "$task" \
     --num-envs 64 --steps "$steps" --seed "$seed" \
-    --impact-penalty "$penalty" --algo "$algo" \
+    --impact-penalty "$penalty" --algo "$algo" --eval-every 1e6 \
     >> "$dir.log" 2>&1 && touch "$dir.done"
 }
 

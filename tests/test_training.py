@@ -109,6 +109,24 @@ def test_policy_improves_with_dense_reward():
     assert late > early + 0.01, (early, late)
 
 
+def test_eval_every_thins_eval_cadence(monkeypatch):
+    """eval_every decouples the frozen-suite eval cadence from checkpoint
+    frequency (a full eval costs ~2x a 500k training segment, so sweeps
+    thin it) — checkpoints still land at save_every and the final eval
+    always runs."""
+    tr = tiny_trainer(eval_every=2000)  # save_every=1000, total=2000
+    saves, evals = [], []
+    monkeypatch.setattr(tr, "save_checkpoint",
+                        lambda: saves.append(tr.global_step()))
+    monkeypatch.setattr(tr, "evaluate",
+                        lambda: evals.append(tr.global_step()))
+    tr.train(total_steps=2000)
+    assert len(saves) >= 2, f"checkpoints thinned too: {saves}"
+    # One mid-run eval (at >=2000... none before it) + the final eval.
+    assert len(evals) < len(saves), (saves, evals)
+    assert evals[-1] == saves[-1], "final eval must run"
+
+
 def test_curriculum_bank_switch():
     """The trainer swaps level banks when the step threshold is crossed."""
     from safelife_tpu.levels import synth
