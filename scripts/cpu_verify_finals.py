@@ -59,6 +59,12 @@ def main(run_dir):
             continue
         if run in finals:
             continue
+        if not os.path.exists(logdir + ".done"):
+            # In-flight or interrupted run: its newest checkpoint is not a
+            # final, and verifying it would record one as such (same gate
+            # validate_sinkhorn.py --runs applies).
+            print(f"{run}: SKIP (no .done marker — run not finished)")
+            continue
         # "<task>+penalty<p>-sN" runs evaluate on the base task's suite.
         task = m.group(1).split("+")[0]
         try:
