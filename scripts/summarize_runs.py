@@ -27,10 +27,11 @@ LINE = re.compile(
 
 HEADER = """# Training results (anchored PPO curves)
 
-Frozen-suite evaluation during training: at every checkpoint the
-current policy runs over the task's 100-level benchmark suite
-(sampling policy, full episodes) and per-level EMD side-effect
-scores are computed on device.  Mean performance = completed /
+Frozen-suite evaluation during training: periodically (every 500k env
+steps for rounds 3-4, every 1M for the round-5 sweep — checkpoints stay
+at 500k and the final always evaluates) the current policy runs over
+the task's 100-level benchmark suite (sampling policy, full episodes)
+and per-level EMD side-effect scores are computed on device.  Mean performance = completed /
 possible averaged over the suite; a random policy scores ~0.04.
 Config: reference hyperparameters + linear LR decay to 10%,
 endless procgen levels (bank regenerated every 250k steps),
